@@ -1,0 +1,50 @@
+"""Single source of truth for GLCM / engine parameters.
+
+Pinned so the batch plan, the streaming plan, and the pure-numpy test
+oracle agree bit-for-bit (SURVEY.md §1.3, FIXTURES.md §3). The semantic
+contract replicated here is the rendertile/slidingwindow GLCM pipeline of
+the reference (simo1427/libglcmsw — mount empty at survey time, semantics
+anchored to BASELINE.json:6,14,15).
+"""
+
+from __future__ import annotations
+
+import math
+
+# --- gray-plane decode -------------------------------------------------
+GRAY_LEVELS: int = 32          # L; GLCM is L x L
+PLANE_W: int = 256             # html bytes are reshaped to H x W
+PLANE_H: int = 256
+QUANT_SHIFT: int = 8 - int(math.log2(GRAY_LEVELS))  # uint8 >> shift -> [0, L)
+
+# --- GLCM displacement (skimage graycomatrix convention) ---------------
+GLCM_DISTANCE: int = 1
+GLCM_ANGLE: float = 0.0        # radians; dr = round(d sin t), dc = round(d cos t)
+SYMMETRIC: bool = True
+NORMED: bool = True
+
+# --- rendertile (sliding-window property map) ---------------------------
+RENDER_PLANE: int = 64         # rendertile uses a smaller plane for the map
+RENDER_WS: int = 9             # window size (odd)
+
+# --- Haralick feature order (fixed; schema + oracle share it) -----------
+HARALICK_FEATURES = (
+    "contrast",
+    "dissimilarity",
+    "homogeneity",
+    "energy",
+    "correlation",
+    "asm",
+)
+
+# --- streaming ----------------------------------------------------------
+WATERMARK_DELAY = "30 minutes"
+TUMBLING_WINDOW = "10 minutes"
+SLIDING_WINDOW = ("10 minutes", "5 minutes")
+SESSION_GAP = "5 minutes"
+SALT_BUCKETS: int = 8          # two-phase salted aggregation fan-out
+
+# --- spark session defaults (see session.py) ----------------------------
+SHUFFLE_PARTITIONS = 32
+ARROW_MAX_RECORDS = 10_000
+SESSION_TZ = "UTC"

@@ -1,0 +1,249 @@
+"""Pure-numpy GLCM / Haralick kernels — the semantic payload of the engine.
+
+Re-expresses the reference's rendertile / slidingwindow pipeline
+(simo1427/libglcmsw; semantics per BASELINE.json:6 — reference mount was
+empty, see SURVEY.md §0) as batch-vectorized numpy used *inside* Arrow
+pandas UDFs. No Spark imports here: the same functions back the batch
+plan, the streaming state function, and (via the independent loop oracle
+in tests/oracle_glcm.py) the test suite.
+
+All math follows SURVEY.md §1.3 / the published skimage
+graycomatrix/graycoprops contract (Haralick et al. 1973):
+
+  C[i,j] = #{(r,c) : I[r,c]=i, I[r+dr,c+dc]=j}
+  symmetric: C <- C + C^T ;  normed: P = C / sum(C)
+  contrast=Σ P (i-j)^2 ; dissimilarity=Σ P|i-j| ; homogeneity=Σ P/(1+(i-j)^2)
+  ASM=Σ P^2 ; energy=sqrt(ASM) ;
+  correlation=Σ P (i-μi)(j-μj)/(σi σj), defined 1.0 when σi σj = 0.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import numpy as np
+
+from . import config
+
+
+def displacement(distance: int = config.GLCM_DISTANCE,
+                 angle: float = config.GLCM_ANGLE) -> tuple[int, int]:
+    """skimage convention: dr = round(d*sin θ), dc = round(d*cos θ)."""
+    dr = int(round(distance * np.sin(angle)))
+    dc = int(round(distance * np.cos(angle)))
+    return dr, dc
+
+
+# ---------------------------------------------------------------------------
+# html -> gray plane
+# ---------------------------------------------------------------------------
+
+def decode_planes(htmls: Sequence[bytes],
+                  w: int = config.PLANE_W,
+                  h: int = config.PLANE_H,
+                  levels: int = config.GRAY_LEVELS) -> np.ndarray:
+    """Decode a batch of raw html byte strings into (n, h, w) uint8 planes.
+
+    Deterministic: take the first w*h bytes (zero-pad short docs), then
+    quantize 256 -> `levels` gray values with a right shift. The per-row
+    loop only does the ragged copy; everything else is vectorized.
+    """
+    n = len(htmls)
+    size = w * h
+    flat = np.zeros((n, size), dtype=np.uint8)
+    for k, b in enumerate(htmls):
+        if b is None:
+            continue
+        m = min(len(b), size)
+        if m:
+            flat[k, :m] = np.frombuffer(b, dtype=np.uint8, count=m)
+    shift = 8 - int(np.log2(levels))
+    return (flat >> shift).reshape(n, h, w)
+
+
+# ---------------------------------------------------------------------------
+# batched GLCM (co-occurrence counts over whole planes)
+# ---------------------------------------------------------------------------
+
+def glcm_counts_batch(planes: np.ndarray,
+                      dr: int | None = None,
+                      dc: int | None = None,
+                      levels: int = config.GRAY_LEVELS,
+                      symmetric: bool = config.SYMMETRIC) -> np.ndarray:
+    """Raw (optionally symmetrized) co-occurrence counts, (n, L, L) float64.
+
+    One bincount over the whole batch: pair index = doc*L^2 + i*L + j.
+    This is the sum-monoid the streaming state accumulates (SURVEY.md §2.B).
+    """
+    if dr is None or dc is None:
+        dr, dc = displacement()
+    n, h, w = planes.shape
+    L = levels
+    r0, r1 = max(0, -dr), h - max(0, dr)
+    c0, c1 = max(0, -dc), w - max(0, dc)
+    a = planes[:, r0:r1, c0:c1].astype(np.int64)
+    b = planes[:, r0 + dr:r1 + dr, c0 + dc:c1 + dc].astype(np.int64)
+    idx = (a * L + b).reshape(n, -1)
+    idx += (np.arange(n, dtype=np.int64) * (L * L))[:, None]
+    counts = np.bincount(idx.ravel(), minlength=n * L * L).astype(np.float64)
+    counts = counts.reshape(n, L, L)
+    if symmetric:
+        counts = counts + counts.transpose(0, 2, 1)
+    return counts
+
+
+def normalize_glcm(counts: np.ndarray) -> np.ndarray:
+    """counts (n,L,L) -> probabilities P with ΣP = 1 (all-zero -> zeros)."""
+    s = counts.sum(axis=(1, 2), keepdims=True)
+    s = np.where(s == 0, 1.0, s)
+    return counts / s
+
+
+# ---------------------------------------------------------------------------
+# Haralick features (batched)
+# ---------------------------------------------------------------------------
+
+def haralick_batch(P: np.ndarray) -> dict[str, np.ndarray]:
+    """Six Haralick features for a batch of normalized GLCMs (n, L, L).
+
+    Returns dict keyed by config.HARALICK_FEATURES, each an (n,) float64.
+    correlation is defined 1.0 where σi·σj == 0 (constant plane).
+    """
+    n, L, _ = P.shape
+    i = np.arange(L, dtype=np.float64)[:, None]
+    j = np.arange(L, dtype=np.float64)[None, :]
+    diff = i - j
+    diff2 = diff * diff
+
+    contrast = np.einsum("nij,ij->n", P, diff2)
+    dissimilarity = np.einsum("nij,ij->n", P, np.abs(diff))
+    homogeneity = np.einsum("nij,ij->n", P, 1.0 / (1.0 + diff2))
+    asm = np.einsum("nij,nij->n", P, P)
+    energy = np.sqrt(asm)
+
+    mu_i = np.einsum("nij,ij->n", P, np.broadcast_to(i, (L, L)))
+    mu_j = np.einsum("nij,ij->n", P, np.broadcast_to(j, (L, L)))
+    ci = i[None, :, :] - mu_i[:, None, None]
+    cj = j[None, :, :] - mu_j[:, None, None]
+    var_i = np.einsum("nij,nij->n", P, ci * ci)
+    var_j = np.einsum("nij,nij->n", P, cj * cj)
+    cov = np.einsum("nij,nij->n", P, ci * cj)
+    denom = np.sqrt(var_i * var_j)
+    correlation = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0), 1.0)
+
+    return {
+        "contrast": contrast,
+        "dissimilarity": dissimilarity,
+        "homogeneity": homogeneity,
+        "energy": energy,
+        "correlation": correlation,
+        "asm": asm,
+    }
+
+
+def featurize_htmls(htmls: Sequence[bytes]) -> dict[str, np.ndarray]:
+    """html bytes -> six Haralick feature arrays (the A1→A2→A4→A5 chain)."""
+    planes = decode_planes(htmls)
+    counts = glcm_counts_batch(planes)
+    if config.NORMED:
+        P = normalize_glcm(counts)
+    else:
+        P = counts
+    return haralick_batch(P)
+
+
+# ---------------------------------------------------------------------------
+# rendertile: sliding-window property maps via integral images
+# ---------------------------------------------------------------------------
+
+def _window_sums(x: np.ndarray, wr: int, wc: int) -> np.ndarray:
+    """Sum of every wr×wc window of 2-D x, via a 2-D cumulative sum."""
+    c = np.cumsum(np.cumsum(x, axis=0, dtype=np.float64), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    return (c[wr:, wc:] - c[:-wr, wc:] - c[wr:, :-wc] + c[:-wr, :-wc])
+
+
+def rendertile_maps(plane: np.ndarray, ws: int = config.RENDER_WS,
+                    dr: int | None = None, dc: int | None = None
+                    ) -> dict[str, np.ndarray]:
+    """Per-pixel sliding-window GLCM property maps (the reference's
+    rendertile/slidingwindow kernel, re-derived analytically).
+
+    For contrast / dissimilarity / homogeneity the windowed GLCM property
+    is a normalized windowed sum of a per-pair pointwise term
+    (w(a,b) = (a-b)^2, |a-b|, 1/(1+(a-b)^2)), so each map is computed with
+    one integral image instead of one GLCM per pixel — O(HW) total. These
+    three are invariant under symmetrization, so the maps match the naive
+    per-window symmetric+normed GLCM oracle exactly.
+    """
+    if dr is None or dc is None:
+        dr, dc = displacement()
+    h, w = plane.shape
+    r0, r1 = max(0, -dr), h - max(0, dr)
+    c0, c1 = max(0, -dc), w - max(0, dc)
+    a = plane[r0:r1, c0:c1].astype(np.float64)
+    b = plane[r0 + dr:r1 + dr, c0 + dc:c1 + dc].astype(np.float64)
+    d = a - b
+    # In valid-region coordinates a ws×ws image window contributes the
+    # rectangular (ws-|dr|)×(ws-|dc|) block of pairs starting at (r, c).
+    wr, wc = ws - abs(dr), ws - abs(dc)
+    if wr <= 0 or wc <= 0:
+        raise ValueError("window smaller than displacement")
+    npairs = float(wr * wc)
+    out = {}
+    for name, term in (("contrast", d * d),
+                       ("dissimilarity", np.abs(d)),
+                       ("homogeneity", 1.0 / (1.0 + d * d))):
+        out[name] = _window_sums(term, wr, wc) / npairs
+    return out
+
+
+def rendertile_stats(htmls: Sequence[bytes],
+                     plane: int = config.RENDER_PLANE,
+                     ws: int = config.RENDER_WS) -> dict[str, np.ndarray]:
+    """Batch rendertile: per-document mean / p95 of the sliding contrast map."""
+    planes = decode_planes(htmls, w=plane, h=plane)
+    n = planes.shape[0]
+    mean = np.zeros(n)
+    p95 = np.zeros(n)
+    hmean = np.zeros(n)
+    for k in range(n):
+        maps = rendertile_maps(planes[k], ws=ws)
+        cm = maps["contrast"]
+        mean[k] = cm.mean()
+        p95[k] = np.percentile(cm, 95)
+        hmean[k] = maps["homogeneity"].mean()
+    return {"contrast_mean": mean, "contrast_p95": p95,
+            "homogeneity_mean": hmean}
+
+
+# ---------------------------------------------------------------------------
+# text extraction (byte-identity invariant, BASELINE.json:15)
+# ---------------------------------------------------------------------------
+
+_P_OPEN = b"<body><p>"
+_P_CLOSE = b"</p></body>"
+_TAG_RE = re.compile(rb"<[^>]*>")
+
+
+def make_html(title: str, text: str) -> bytes:
+    """Deterministic wrapper (FIXTURES.md §1): extract_text inverts it."""
+    return (b"<html><head><title>" + title.encode("utf-8")
+            + b"</title></head><body><p>" + text.encode("utf-8")
+            + b"</p></body></html>")
+
+
+def extract_text(html: bytes) -> str:
+    """Extract body text, byte-identical to the original for make_html docs."""
+    if html is None:
+        return ""
+    i = html.find(_P_OPEN)
+    j = html.rfind(_P_CLOSE)
+    if i != -1 and j != -1 and j >= i + len(_P_OPEN):
+        return html[i + len(_P_OPEN):j].decode("utf-8", "replace")
+    return _TAG_RE.sub(b"", html).decode("utf-8", "replace").strip()
+
+
+def extract_texts(htmls: Sequence[bytes]) -> list[str]:
+    return [extract_text(b) for b in htmls]

@@ -1,0 +1,66 @@
+"""SparkSession factory + worker-side package distribution.
+
+One place for every engine-relevant config (AQE, Arrow, shuffle
+partitions, UTC) so batch, streaming, tests and bench agree — SURVEY.md §4.2.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+from . import config
+
+_SRC_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_spark(app: str = "glcmstream", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    master = master or os.environ.get("GLCMSTREAM_MASTER", "local[*]")
+    sp = shuffle_partitions or config.SHUFFLE_PARTITIONS
+    b = (SparkSession.builder.appName(app).master(master)
+         .config("spark.sql.shuffle.partitions", str(sp))
+         .config("spark.sql.session.timeZone", config.SESSION_TZ)
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                 str(config.ARROW_MAX_RECORDS))
+         .config("spark.sql.parquet.filterPushdown", "true")
+         .config("spark.driver.memory",
+                 os.environ.get("GLCMSTREAM_DRIVER_MEM", "8g"))
+         .config("spark.sql.streaming.stateStore.providerClass",
+                 "org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider"))
+    spark = b.getOrCreate()
+    ensure_pyfiles(spark)
+    return spark
+
+
+_zipped_for: set[int] = set()
+
+
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the glcmstream package to python workers via addPyFile.
+
+    This is the local-mode equivalent of `spark-submit --py-files`
+    (BASELINE.json:14): pandas UDFs are pickled by reference to the
+    module, so workers must be able to import it.
+    """
+    key = id(spark.sparkContext)
+    if key in _zipped_for:
+        return
+    pkg_dir = os.path.join(_SRC_DIR, "glcmstream")
+    tmp = tempfile.mkdtemp(prefix="glcmstream_pyfiles_")
+    zpath = os.path.join(tmp, "glcmstream.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for fn in sorted(os.listdir(pkg_dir)):
+            if fn.endswith(".py"):
+                z.write(os.path.join(pkg_dir, fn),
+                        arcname=f"glcmstream/{fn}")
+    spark.sparkContext.addPyFile(zpath)
+    _zipped_for.add(key)
