@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark) runs the flagship GLCM featurize+aggregate query on sf0.001;
+queries()/oracle_sql() expose the full operator surface of SURVEY.md §2
+with DuckDB twins where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_REPO, "src")
+if _SRC not in sys.path:
+    sys.path.insert(0, _SRC)
+os.environ["PYTHONPATH"] = _SRC + os.pathsep + os.environ.get(
+    "PYTHONPATH", "")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: html -> gray plane ->
+    GLCM -> Haralick features -> per-(lang, host) windowed aggregate."""
+    from pyspark.sql import functions as F
+
+    from glcmstream import config, plan
+    from glcmstream.session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    pages = plan.pages_from_documents(spark, "/root/testdata/sf0.001")
+    feats = plan.featurize(pages)
+    return (feats.groupBy("lang", "host",
+                          F.date_trunc("hour", "warc_ts").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 *[F.round(F.avg(c), 4).alias(f"avg_{c}")
+                   for c in config.HARALICK_FEATURES]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from glcmstream import queries as q
+    return dict(q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from glcmstream import queries as q
+    return dict(q.ORACLE)

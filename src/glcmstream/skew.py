@@ -1,0 +1,44 @@
+"""Skew handling: salted two-phase aggregation (SURVEY.md §2.B 🛠).
+
+Hot grouping keys (a handful of hosts own 40%+ of a web crawl) overload
+single reducers. For algebraic aggregates (sum/count — and the GLCM count
+matrix, which is a sum monoid) we salt: phase 1 aggregates on
+(key, salt) spreading each hot key over SALT_BUCKETS reducers, phase 2
+combines the partials per key. Exactness is preserved because every
+aggregate that passes through is re-aggregatable (sums of sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import config
+
+
+def salted_sum_agg(df: DataFrame, keys: list[str],
+                   sums: dict[str, str], counts: str | None = "n",
+                   buckets: int = config.SALT_BUCKETS) -> DataFrame:
+    """Two-phase salted sum/count aggregation.
+
+    sums: {output_alias: input_column_expr} summed exactly.
+    counts: alias for a row count (None to skip).
+    Salt is derived from xxhash64 of all columns-ish randomness-free: we
+    use a deterministic per-row hash (monotonically_increasing_id is NOT
+    used — it's partition-layout dependent); spark_partition_id would also
+    be layout-dependent, so the salt hashes a stable payload column.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in df.columns
+                               if k not in keys][:1] or [F.lit(1)]),
+                  F.lit(buckets)).alias("_salt")
+    phase1_aggs = [F.sum(F.col(src)).alias(f"_s_{alias}")
+                   for alias, src in sums.items()]
+    if counts:
+        phase1_aggs.append(F.count(F.lit(1)).alias("_c"))
+    p1 = (df.withColumn("_salt", salt)
+            .groupBy(*keys, "_salt").agg(*phase1_aggs))
+    phase2_aggs = [F.sum(F.col(f"_s_{alias}")).alias(alias)
+                   for alias in sums]
+    if counts:
+        phase2_aggs.append(F.sum("_c").alias(counts))
+    return p1.groupBy(*keys).agg(*phase2_aggs)
