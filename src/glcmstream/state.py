@@ -1,0 +1,135 @@
+"""Stateful incremental GLCM co-occurrence accumulation (SURVEY.md §2.B 🛠).
+
+The GLCM count matrix is a sum monoid over documents (tests prove the
+monoid laws), so per-(lang, host, window) accumulation across micro-batches
+is an elementwise add of the flattened L² vector held in GroupState —
+the streaming reinterpretation of the reference's tile-accumulation
+(BASELINE.json:6 "applyInPandasWithState for incremental co-occurrence
+accumulation").
+
+State schema is kept primitive (array<double> + two longs) for checkpoint
+schema stability across restarts (SURVEY.md §7 watch list).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
+                               StructField, StructType, TimestampType)
+
+from . import config, kernel
+
+L2 = config.GRAY_LEVELS * config.GRAY_LEVELS
+
+STATE_SCHEMA = StructType([
+    StructField("counts", ArrayType(DoubleType())),
+    StructField("n_docs", LongType()),
+    StructField("n_batches", LongType()),
+])
+
+OUTPUT_SCHEMA = StructType([
+    StructField("lang", StringType()),
+    StructField("host", StringType()),
+    StructField("window_start", TimestampType()),
+    StructField("n_docs", LongType()),
+    StructField("n_batches", LongType()),
+    *[StructField(n, DoubleType()) for n in config.HARALICK_FEATURES],
+])
+
+
+def _features_of_counts(counts: np.ndarray) -> dict[str, float]:
+    P = kernel.normalize_glcm(counts.reshape(1, config.GRAY_LEVELS,
+                                             config.GRAY_LEVELS))
+    f = kernel.haralick_batch(P)
+    return {k: float(v[0]) for k, v in f.items()}
+
+
+def accumulate_glcm(key, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    """State function: add this batch's per-doc GLCM counts into the
+    group's accumulated matrix; emit the features of the running total.
+
+    key = (lang, host, window_start). Input rows carry raw `html`; the
+    numpy kernel vectorizes the whole Arrow batch at once.
+    """
+    lang, host, window_start = key
+    if state.hasTimedOut:
+        # watermark passed window end: final emission already happened on
+        # the last data batch; just drop the state.
+        state.remove()
+        return
+    if state.exists:
+        counts_list, n_docs, n_batches = state.get
+        counts = np.asarray(counts_list, dtype=np.float64)
+    else:
+        counts = np.zeros(L2)
+        n_docs = 0
+        n_batches = 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        planes = kernel.decode_planes(pdf["html"].tolist())
+        batch_counts = kernel.glcm_counts_batch(planes)
+        counts += batch_counts.sum(axis=0).ravel()
+        n_docs += len(pdf)
+        n_batches += 1
+    state.update((counts.tolist(), int(n_docs), int(n_batches)))
+    # evict 1h after the window start, but never at/behind the current
+    # watermark (setTimeoutTimestamp rejects timestamps <= watermark)
+    try:
+        wm = state.getCurrentWatermarkMs()
+        target = int(pd.Timestamp(window_start).value // 1_000_000) \
+            + 3_600_000
+        state.setTimeoutTimestamp(max(target, wm + 3_600_000))
+    except Exception:
+        pass  # NoTimeout config (batch-style tests)
+    feats = _features_of_counts(counts)
+    yield pd.DataFrame([{
+        "lang": lang, "host": host, "window_start": window_start,
+        "n_docs": int(n_docs), "n_batches": int(n_batches), **feats}])
+
+
+def stateful_glcm_agg(pages_stream: DataFrame,
+                      window: str = config.TUMBLING_WINDOW,
+                      watermark: str = config.WATERMARK_DELAY,
+                      timeout: str = GroupStateTimeout.EventTimeTimeout
+                      ) -> DataFrame:
+    """pages stream -> per-(lang, host, tumbling-window) incrementally
+    accumulated GLCM Haralick features."""
+    keyed = (pages_stream
+             .withWatermark("warc_ts", watermark)
+             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("window_start",
+                         F.window("warc_ts", window).start)
+             .select("lang", "host", "window_start", "html", "warc_ts"))
+    return (keyed.groupBy("lang", "host", "window_start")
+            .applyInPandasWithState(accumulate_glcm, OUTPUT_SCHEMA,
+                                    STATE_SCHEMA, "update", timeout))
+
+
+def batch_glcm_agg(pages: DataFrame) -> DataFrame:
+    """Batch oracle for the stateful path: same keys, GLCM summed per key
+    with applyInPandas (no state). Must agree exactly with the streaming
+    result for the same input (determinism gate, BASELINE.json:14)."""
+    def agg_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lang, host, window_start = key
+        planes = kernel.decode_planes(pdf["html"].tolist())
+        counts = kernel.glcm_counts_batch(planes).sum(axis=0).ravel()
+        feats = _features_of_counts(counts)
+        return pd.DataFrame([{
+            "lang": lang, "host": host, "window_start": window_start,
+            "n_docs": len(pdf), "n_batches": 1, **feats}])
+
+    keyed = (pages
+             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("window_start",
+                         F.window("warc_ts", config.TUMBLING_WINDOW).start)
+             .select("lang", "host", "window_start", "html"))
+    return (keyed.groupBy("lang", "host", "window_start")
+            .applyInPandas(agg_group, OUTPUT_SCHEMA))

@@ -1,0 +1,302 @@
+"""M4–M7 streaming tests: windowed aggregates, stateful GLCM accumulation,
+exactly-once sink, checkpoint resume, late data, stream-stream join
+(SURVEY.md §5.2 rows 6-9).
+"""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from glcmstream import fixtures, state, stream
+from glcmstream.sink import IcebergLiteTable
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".scratch")
+
+
+@pytest.fixture(scope="module")
+def pages_dir():
+    d = os.path.join(SCRATCH, "pages_stream_400")
+    if not os.path.exists(os.path.join(d, "part-0007.parquet")):
+        shutil.rmtree(d, ignore_errors=True)
+        fixtures.write_pages_parquet(d, n_docs=400, n_files=8)
+    return d
+
+
+def _scratch(name):
+    d = os.path.join(SCRATCH, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _latest_per_key(df, keys, order_col="n_docs"):
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# windowed built-in aggregate: determinism + batch parity
+# ---------------------------------------------------------------------------
+
+def _run_windowed(spark, pages_dir, tag):
+    sdf = stream.pages_stream(spark, pages_dir)
+    agg = stream.windowed_feature_agg(sdf)
+    qname = f"winagg_{tag}"
+    ckpt = _scratch(f"ckpt_{qname}")
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname).toPandas()
+
+
+def _canon_win(pdf):
+    pdf = pdf.copy()
+    pdf["window_start"] = pdf["window"].map(lambda w: w["start"])
+    pdf = pdf.drop(columns=["window"])
+    return pdf.sort_values(["lang", "host", "window_start"]) \
+              .reset_index(drop=True)
+
+
+def test_windowed_agg_deterministic_and_matches_batch(spark, pages_dir):
+    r1 = _canon_win(_run_windowed(spark, pages_dir, "a"))
+    r2 = _canon_win(_run_windowed(spark, pages_dir, "b"))
+    pd.testing.assert_frame_equal(r1, r2)  # identical across runs
+
+    batch = stream.read_pages_batch(spark, pages_dir)
+    bagg = stream.windowed_feature_agg(batch)  # same plan, batch input
+    b = _canon_win(bagg.toPandas())
+    pd.testing.assert_frame_equal(r1, b, check_exact=False, rtol=1e-12)
+    assert len(r1) > 0 and r1["n_docs"].sum() == 440  # 400 + 10% recrawls
+
+
+# ---------------------------------------------------------------------------
+# stateful GLCM accumulation vs batch oracle + exactly-once sink
+# ---------------------------------------------------------------------------
+
+def test_stateful_glcm_matches_batch(spark, pages_dir):
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    out = state.stateful_glcm_agg(sdf)
+    table = IcebergLiteTable(_scratch("tbl_stateful"))
+    stream.run_to_sink(out, table, _scratch("ckpt_stateful"))
+
+    got = _latest_per_key(table.read(spark),
+                          ["lang", "host", "window_start"])
+    exp = state.batch_glcm_agg(stream.read_pages_batch(spark, pages_dir))
+    g = got.drop("n_batches", "epoch").toPandas().sort_values(
+        ["lang", "host", "window_start"]).reset_index(drop=True)
+    e = exp.drop("n_batches").toPandas().sort_values(
+        ["lang", "host", "window_start"]).reset_index(drop=True)
+    # integer-valued float64 count sums -> features must agree exactly
+    pd.testing.assert_frame_equal(g, e)
+    assert g["n_docs"].sum() == 440
+    # multi-epoch accumulation actually happened for at least one key
+    assert (table.read(spark).groupBy("lang", "host", "window_start")
+            .count().agg(F.max("count")).collect()[0][0] >= 1)
+    # sink lineage recorded per committed epoch
+    ms = table.manifests()
+    assert ms and all("partitions" in m for m in ms)
+    assert sum(m["row_count"] for m in ms) >= len(g)
+
+
+def test_exactly_once_sink_replay_noop(spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    table = IcebergLiteTable(_scratch("tbl_xonce"))
+    assert table.commit(df, 7) is True
+    assert table.commit(df, 7) is False          # replay -> no-op
+    assert table.read(spark).count() == 100       # no duplicates
+    m = table.manifests()[0]
+    assert m["epoch_id"] == 7 and m["row_count"] == 100
+    assert sum(p["row_count"] for p in m["partitions"]) == 100
+
+
+def test_sink_partial_crash_recovery(spark):
+    """Data written but no manifest (crash before commit point) -> retry
+    overwrites cleanly; readers never see the torn epoch."""
+    df = spark.range(50).withColumn("v", F.col("id") + 1)
+    table = IcebergLiteTable(_scratch("tbl_crash"))
+    # simulate a torn write: data dir exists with garbage, no manifest
+    epoch_dir = os.path.join(table.data_dir, "epoch=3")
+    os.makedirs(epoch_dir)
+    with open(os.path.join(epoch_dir, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        table.read(spark)  # nothing committed yet
+    assert table.commit(df, 3) is True
+    assert table.read(spark).count() == 50
+
+
+# ---------------------------------------------------------------------------
+# checkpoint resume: interrupted run == uninterrupted run
+# ---------------------------------------------------------------------------
+
+def _counts_agg(sdf):
+    return (sdf.withWatermark("warc_ts", "30 minutes")
+            .withColumn("host", F.parse_url("url", F.lit("HOST")))
+            .groupBy(F.window("warc_ts", "10 minutes").alias("window"),
+                     "host")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def test_checkpoint_resume(spark, pages_dir):
+    files = sorted(os.listdir(pages_dir))
+    assert len(files) == 8
+
+    # interrupted: 4 files, run to completion, then 4 more, resume
+    src = _scratch("resume_src")
+    ckpt = _scratch("resume_ckpt")
+    table = IcebergLiteTable(_scratch("resume_tbl"))
+    for fn in files[:4]:
+        shutil.copy(os.path.join(pages_dir, fn), src)
+    sdf = stream.pages_stream(spark, src)
+    stream.run_to_sink(_counts_agg(sdf), table, ckpt)
+    epochs_first = table.committed_epochs()
+    for fn in files[4:]:
+        shutil.copy(os.path.join(pages_dir, fn), src)
+    sdf = stream.pages_stream(spark, src)
+    stream.run_to_sink(_counts_agg(sdf), table, ckpt)
+    assert len(table.committed_epochs()) > len(epochs_first)
+
+    # uninterrupted reference
+    table2 = IcebergLiteTable(_scratch("resume_tbl2"))
+    sdf2 = stream.pages_stream(spark, pages_dir)
+    stream.run_to_sink(_counts_agg(sdf2), table2, _scratch("resume_ckpt2"))
+
+    def final(t):
+        df = t.read(spark).withColumn("ws", F.col("window.start"))
+        return (_latest_per_key(df, ["ws", "host"])
+                .select("ws", "host", "n_docs").toPandas()
+                .sort_values(["ws", "host"]).reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(final(table), final(table2))
+
+
+# ---------------------------------------------------------------------------
+# late data beyond watermark is dropped (append mode)
+# ---------------------------------------------------------------------------
+
+def _write_events(path, rows):
+    schema = pa.schema([pa.field("url", pa.string()),
+                        pa.field("warc_ts", pa.timestamp("us")),
+                        pa.field("html", pa.binary()),
+                        pa.field("text", pa.string()),
+                        pa.field("lang", pa.string())])
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                      "lang"])
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
+                                        preserve_index=False), path)
+
+
+def test_late_data_dropped(spark):
+    src = _scratch("late_src")
+    ckpt = _scratch("late_ckpt")
+    ts = pd.Timestamp("2026-01-01 10:00:00")
+
+    def row(minute, tag):
+        return (f"https://h.example.com/{tag}",
+                ts + pd.Timedelta(minutes=minute) - pd.Timedelta(minutes=0)
+                if minute >= 0 else ts + pd.Timedelta(minutes=minute),
+                b"<html><head><title>t</title></head><body><p>x</p>"
+                b"</body></html>", "x", "en")
+
+    def run():
+        schema = spark.read.parquet(src).schema
+        sdf = (spark.readStream.schema(schema).parquet(src)
+               .withColumn("warc_ts", F.col("warc_ts").cast("timestamp")))
+        agg = (sdf.withWatermark("warc_ts", "10 minutes")
+               .groupBy(F.window("warc_ts", "10 minutes").alias("window"))
+               .agg(F.count(F.lit(1)).alias("n")))
+        table = IcebergLiteTable(os.path.join(SCRATCH, "late_tbl"))
+        q = (agg.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(table.foreach_batch())
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return table
+
+    shutil.rmtree(os.path.join(SCRATCH, "late_tbl"), ignore_errors=True)
+    # epoch 1: three on-time rows 10:00-10:09 -> watermark 9:59
+    _write_events(os.path.join(src, "f1.parquet"),
+                  [row(0, "a"), row(5, "b"), row(9, "c")])
+    run()
+    # epoch 2: one row at 9:30 (window end 9:40 < watermark -> DROPPED),
+    # one at 10:25 (advances watermark to 10:15, finalizing [10:00,10:10))
+    _write_events(os.path.join(src, "f2.parquet"),
+                  [row(-30, "late"), row(25, "d")])
+    table = run()
+
+    got = (table.read(spark)
+           .select(F.col("window.start").alias("ws"), "n").toPandas()
+           .sort_values("ws").reset_index(drop=True))
+    # only [10:00,10:10) finalized, with 3 rows; the 9:30 late row gone
+    assert list(got["n"]) == [3]
+    assert got["ws"][0] == ts
+    # and nothing anywhere counts the dropped late row
+    assert got["n"].sum() == 3
+
+
+# ---------------------------------------------------------------------------
+# stream-stream re-crawl join + streaming dedup
+# ---------------------------------------------------------------------------
+
+def test_recrawl_stream_join_matches_batch(spark, pages_dir):
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    j = stream.recrawl_stream_join(sdf)
+    qname = "recrawl_j"
+    q = (j.writeStream.format("memory").queryName(qname)
+         .outputMode("append")
+         .option("checkpointLocation", _scratch("ckpt_recrawl"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table(qname).toPandas().sort_values(
+        ["url", "t1", "t2"]).reset_index(drop=True)
+
+    batch = stream.read_pages_batch(spark, pages_dir)
+    exp = stream.recrawl_stream_join(batch).toPandas().sort_values(
+        ["url", "t1", "t2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == 40  # 10% of 400 recrawled once each
+
+
+def test_dedup_within_watermark(spark, pages_dir):
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    d = stream.dedup_stream(sdf, watermark="2 hours")
+    qname = "dedup_s"
+    q = (d.select("url").writeStream.format("memory").queryName(qname)
+         .outputMode("append")
+         .option("checkpointLocation", _scratch("ckpt_dedup"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table(qname).count()
+    exp = spark.read.parquet(pages_dir).select("url").distinct().count()
+    assert got == exp == 400
+
+
+def test_salted_streaming_agg_exact(spark, pages_dir):
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=4)
+    salted = stream.salted_windowed_doc_counts(sdf)
+    qname = "salted_s"
+    q = (salted.writeStream.format("memory").queryName(qname)
+         .outputMode("complete")
+         .option("checkpointLocation", _scratch("ckpt_salted"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = (stream.finalize_salted(spark.table(qname))
+           .select(F.col("window.start").alias("ws"), "host", "n_docs")
+           .toPandas().sort_values(["ws", "host"]).reset_index(drop=True))
+    exp = (stream.read_pages_batch(spark, pages_dir)
+           .withColumn("host", F.parse_url("url", F.lit("HOST")))
+           .groupBy(F.window("warc_ts", "10 minutes").alias("w"), "host")
+           .agg(F.count(F.lit(1)).alias("n_docs"))
+           .select(F.col("w.start").alias("ws"), "host", "n_docs")
+           .toPandas().sort_values(["ws", "host"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
