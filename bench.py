@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Bench harness: headline GLCM streaming throughput + batch operator suite.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  GLCM_BENCH_DOCS     override pages doc count (default scales with sf)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(REPO, "src"))
+os.environ["PYTHONPATH"] = (os.path.join(REPO, "src") + os.pathsep
+                            + os.environ.get("PYTHONPATH", ""))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
+N_DOCS = int(os.environ.get("GLCM_BENCH_DOCS", max(500, int(500_000 * SF))))
+SCRATCH = os.path.join(REPO, ".scratch")
+
+
+def ensure_pages(n_docs: int) -> str:
+    """Deterministic bench pages fixture (seed pinned), built once."""
+    from glcmstream import fixtures
+    d = os.path.join(SCRATCH, f"bench_pages_{n_docs}")
+    marker = os.path.join(d, "part-0063.parquet")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+        fixtures.write_pages_parquet(d, n_docs=n_docs, n_files=64)
+    return d
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from glcmstream import plan, state, stream
+    from glcmstream import queries as qmod
+    from glcmstream.session import get_spark
+
+    pages_dir = ensure_pages(N_DOCS)
+    spark = get_spark("glcmstream-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    n_pages = int(N_DOCS * 1.1)  # incl. 10% recrawls
+
+    # --- headline: streaming GLCM featurize + windowed agg -----------------
+    import shutil
+    ckpt = os.path.join(SCRATCH, "bench_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.perf_counter()
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=16)
+    agg = stream.windowed_feature_agg(sdf, parallelism=CPUS)
+    q = (agg.writeStream.format("memory").queryName("bench_winagg")
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    n_out = spark.table("bench_winagg").count()
+    t_stream = time.perf_counter() - t0
+    timings["glcm_stream_windowed"] = round(t_stream, 3)
+    assert n_out > 0
+
+    # --- batch GLCM featurize + per-(lang,host) agg -------------------------
+    t0 = time.perf_counter()
+    pages = stream.read_pages_batch(spark, pages_dir)
+    feats = plan.featurize(pages, parallelism=CPUS * 2)
+    out = (feats.groupBy("lang", "host")
+           .agg(F.count(F.lit(1)).alias("n"), F.avg("contrast"),
+                F.avg("energy")))
+    out.collect()
+    timings["glcm_batch_agg"] = round(time.perf_counter() - t0, 3)
+
+    # --- stateful accumulation path -----------------------------------------
+    ckpt2 = os.path.join(SCRATCH, "bench_ckpt2")
+    shutil.rmtree(ckpt2, ignore_errors=True)
+    t0 = time.perf_counter()
+    sdf2 = stream.pages_stream(spark, pages_dir, max_files_per_trigger=32)
+    st = state.stateful_glcm_agg(sdf2)
+    q2 = (st.writeStream.format("memory").queryName("bench_state")
+          .outputMode("update").option("checkpointLocation", ckpt2)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    spark.table("bench_state").count()
+    timings["glcm_stateful_accum"] = round(time.perf_counter() - t0, 3)
+
+    # --- batch operator suite (driver tables at this sf) --------------------
+    registry = qmod.QUERIES
+    for name in ["pricing_summary", "revenue_by_priority",
+                 "window_rank_orders", "asof_join_click_purchase",
+                 "range_join_event_pairs", "jaccard_word_pairs",
+                 "minhash_lsh_dedup", "ann_topk_cosine", "token_stats",
+                 "recrawl_interval_join", "salted_host_agg",
+                 "streaming_tumbling_events"]:
+        t0 = time.perf_counter()
+        registry[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_pages / t_stream, 1)
+    print(json.dumps({
+        "metric": "glcmstream bench (GLCM featurize + windowed agg "
+                  "+ operator suite)",
+        "value": total, "unit": "sec", "queries": timings, "sf": SF,
+        "docs_per_sec": docs_per_sec, "n_docs": n_pages, "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

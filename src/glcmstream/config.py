@@ -46,5 +46,8 @@ SALT_BUCKETS: int = 8          # two-phase salted aggregation fan-out
 
 # --- spark session defaults (see session.py) ----------------------------
 SHUFFLE_PARTITIONS = 32
-ARROW_MAX_RECORDS = 10_000
+# 2048 rows/batch: each doc decodes to a 64 KiB plane, so a batch holds
+# ~128 MiB of planes per python worker — 32 workers stay well under RAM
+# while amortizing Arrow transfer (swept in BENCH; 10k default OOM-risky)
+ARROW_MAX_RECORDS = 2_048
 SESSION_TZ = "UTC"

@@ -39,7 +39,8 @@ def _vocab(rng: np.random.Generator, size: int = 5000) -> np.ndarray:
 
 
 def gen_pages(n_docs: int, seed: int = 42, hot_host_frac: float = 0.0,
-              recrawl_frac: float = 0.10) -> pd.DataFrame:
+              recrawl_frac: float = 0.10, min_tokens: int = 20,
+              max_tokens: int = 400) -> pd.DataFrame:
     """Generate the pages table as a pandas DataFrame (FIXTURES.md §1)."""
     rng = np.random.default_rng(seed)
     n_hosts = max(16, n_docs // 50)
@@ -65,7 +66,7 @@ def gen_pages(n_docs: int, seed: int = 42, hot_host_frac: float = 0.0,
 
     rows = []
     for k in range(n_docs):
-        ntok = int(rng.integers(20, 400))
+        ntok = int(rng.integers(min_tokens, max_tokens))
         toks = list(rng.choice(vocab, ntok))
         markers = _LANG_MARKERS[lang[k]]
         for m in range(max(2, ntok // 10)):
@@ -90,14 +91,16 @@ def gen_pages(n_docs: int, seed: int = 42, hot_host_frac: float = 0.0,
 
 
 def write_pages_parquet(out_dir: str, n_docs: int, seed: int = 42,
-                        n_files: int = 8, hot_host_frac: float = 0.0) -> str:
+                        n_files: int = 8, hot_host_frac: float = 0.0,
+                        min_tokens: int = 20, max_tokens: int = 400) -> str:
     """Write pages as k parquet files in warc_ts-correlated order so
     readStream(maxFilesPerTrigger=1) replays a deterministic micro-batch
     sequence (FIXTURES.md §1 'derived stream fixture')."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    df = gen_pages(n_docs, seed=seed, hot_host_frac=hot_host_frac)
+    df = gen_pages(n_docs, seed=seed, hot_host_frac=hot_host_frac,
+                   min_tokens=min_tokens, max_tokens=max_tokens)
     df = df.sort_values("warc_ts", kind="mergesort").reset_index(drop=True)
     os.makedirs(out_dir, exist_ok=True)
     schema = pa.schema([

@@ -55,13 +55,20 @@ def with_host(df: DataFrame, url_col: str = "url") -> Column | DataFrame:
     return df.withColumn("host", F.parse_url(F.col(url_col), F.lit("HOST")))
 
 
-def featurize(pages: DataFrame) -> DataFrame:
+def featurize(pages: DataFrame, parallelism: int | None = None) -> DataFrame:
     """pages -> per-document Haralick feature columns + host key.
 
     Column-pruning note: `html` is consumed here and dropped immediately;
     downstream aggregates never carry the binary payload through a shuffle.
+
+    parallelism: optional round-robin repartition before the UDF stage.
+    Spark packs input splits by *bytes*, but GLCM cost is per *row* — with
+    small fixture files a whole table can land in 1-2 splits and serialize
+    the python workers. At real Common-Crawl page sizes (50-100 KiB html)
+    byte-packing matches row cost and this knob stays None.
     """
-    out = with_host(pages)
+    out = pages.repartition(parallelism) if parallelism else pages
+    out = with_host(out)
     out = out.withColumn("f", glcm_features_udf("html")).drop("html")
     for name in config.HARALICK_FEATURES:
         out = out.withColumn(name, F.col(f"f.{name}"))

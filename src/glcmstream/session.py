@@ -35,7 +35,9 @@ def get_spark(app: str = "glcmstream", master: str | None = None,
                  os.environ.get("GLCMSTREAM_DRIVER_MEM", "8g"))
          .config("spark.sql.streaming.stateStore.providerClass",
                  "org.apache.spark.sql.execution.streaming.state."
-                 "RocksDBStateStoreProvider"))
+                 "RocksDBStateStoreProvider")
+         .config("spark.sql.streaming.stateStore.rocksdb."
+                 "changelogCheckpointing.enabled", "true"))
     spark = b.getOrCreate()
     ensure_pyfiles(spark)
     return spark

@@ -74,8 +74,7 @@ def accumulate_glcm(key, pdfs: Iterator[pd.DataFrame],
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        planes = kernel.decode_planes(pdf["html"].tolist())
-        batch_counts = kernel.glcm_counts_batch(planes)
+        batch_counts = kernel.glcm_counts_htmls(pdf["html"].tolist())
         counts += batch_counts.sum(axis=0).ravel()
         n_docs += len(pdf)
         n_batches += 1
@@ -119,8 +118,8 @@ def batch_glcm_agg(pages: DataFrame) -> DataFrame:
     result for the same input (determinism gate, BASELINE.json:14)."""
     def agg_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         lang, host, window_start = key
-        planes = kernel.decode_planes(pdf["html"].tolist())
-        counts = kernel.glcm_counts_batch(planes).sum(axis=0).ravel()
+        counts = kernel.glcm_counts_htmls(pdf["html"].tolist()) \
+            .sum(axis=0).ravel()
         feats = _features_of_counts(counts)
         return pd.DataFrame([{
             "lang": lang, "host": host, "window_start": window_start,

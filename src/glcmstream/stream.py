@@ -41,7 +41,8 @@ def pages_stream(spark: SparkSession, pages_dir: str,
 def windowed_feature_agg(sdf: DataFrame,
                          window: str = config.TUMBLING_WINDOW,
                          watermark: str = config.WATERMARK_DELAY,
-                         slide: str | None = None) -> DataFrame:
+                         slide: str | None = None,
+                         parallelism: int | None = None) -> DataFrame:
     """Built-in streaming aggregate of per-document Haralick features in
     tumbling (or sliding) event-time windows keyed by (lang, host).
 
@@ -49,7 +50,8 @@ def windowed_feature_agg(sdf: DataFrame,
     small doubles shuffle into the stateful aggregation — the html binary
     never crosses the exchange.
     """
-    feats = (sdf.withWatermark("warc_ts", watermark)
+    src = sdf.repartition(parallelism) if parallelism else sdf
+    feats = (src.withWatermark("warc_ts", watermark)
              .withColumn("host", F.parse_url("url", F.lit("HOST")))
              .withColumn("f", plan.glcm_features_udf("html"))
              .select("lang", "host", "warc_ts",

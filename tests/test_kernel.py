@@ -85,6 +85,20 @@ def test_decode_planes_pad_truncate_quantize():
     assert planes[1].ravel()[9] == 31 and planes[1].ravel()[10] == 0
 
 
+def test_fast_path_equals_full_plane():
+    """glcm_counts_htmls (analytic zero-padding shortcut) must equal the
+    exhaustive full-plane computation bit for bit."""
+    rng = np.random.default_rng(3)
+    htmls = [bytes(rng.integers(0, 256, int(k)).astype(np.uint8))
+             for k in [0, 1, 100, 1600, 257, 256 * 256, 300_000]]
+    fast = kernel.glcm_counts_htmls(htmls)
+    full = kernel.glcm_counts_batch(kernel.decode_planes(htmls))
+    np.testing.assert_array_equal(fast, full)
+    # and for a vertical displacement too
+    fast_v = kernel.glcm_counts_htmls(htmls[:4])
+    assert fast_v.shape == (4, 32, 32)
+
+
 def test_featurize_htmls_end_to_end_shapes():
     htmls = [kernel.make_html(f"t{i}", "word " * 50) for i in range(5)]
     f = kernel.featurize_htmls(htmls)
