@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""N -> 4N scaling-efficiency proof (BASELINE.json north rule).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+two cluster sizes are evidenced as two parallelism levels of the SAME job
+on the SAME input: local[8] vs local[32], fresh JVM each. Efficiency =
+docs_per_sec[32] / (4 * docs_per_sec[8]); requirement >= 0.8.
+
+The input uses realistic Common-Crawl page sizes (~45 KiB html — the
+10^12-doc x ~100 KiB design point is ~100 TB), making the job
+compute-bound like the real workload; tiny fixture pages would measure
+Spark's fixed micro-batch overhead instead of scaling.
+
+Writes BENCH/BASELINE.md. Usage: python BENCH/scaling.py
+Env: GLCM_SCALE_DOCS (default 120000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "src"))
+
+N_DOCS = int(os.environ.get("GLCM_SCALE_DOCS", "120000"))
+LEGS = (8, 32)
+
+
+def ensure_fixture() -> tuple[str, int]:
+    from glcmstream import fixtures
+    d = os.path.join(REPO, ".scratch", f"scale_pages_{N_DOCS}")
+    if not os.path.exists(os.path.join(d, "part-0063.parquet")):
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+        t0 = time.time()
+        fixtures.write_pages_parquet(d, n_docs=N_DOCS, n_files=64,
+                                     min_tokens=5000, max_tokens=9000)
+        print(f"fixture built in {time.time()-t0:.0f}s", file=sys.stderr)
+    return d, int(N_DOCS * 1.1)
+
+
+def run_leg(cpus: int, pages_dir: str, n_pages: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "BENCH", "scaling_job.py"),
+         str(cpus), pages_dir, str(n_pages)],
+        capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith('{"cpus"'):
+            return json.loads(line)
+    raise RuntimeError(f"leg {cpus} failed:\n{out.stdout[-2000:]}\n"
+                       f"{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    pages_dir, n_pages = ensure_fixture()
+    results = {c: run_leg(c, pages_dir, n_pages) for c in LEGS}
+    dps8 = results[8]["docs_per_sec"]
+    dps32 = results[32]["docs_per_sec"]
+    eff = dps32 / (4 * dps8)
+    kernel_ceiling = _kernel_ceiling()
+    md = f"""# BENCH/BASELINE — measured numbers (SURVEY.md §6)
+
+Job: streaming GLCM pipeline — file micro-batch source over the pages
+fixture ({N_DOCS} docs + 10% recrawls, ~45 KiB html each,
+seed-pinned) -> watermark -> html->plane->GLCM->Haralick (Arrow pandas
+UDF) -> tumbling-window (lang, host) aggregate -> foreachBatch sink.
+Same job, same input, two parallelism levels, fresh JVM per leg
+(sandbox proxy for N vs 4N executors per the driver instruction).
+
+| parallelism | wall (s) | docs/sec |
+| --- | --- | --- |
+| local[8]  (N)  | {results[8]["wall_sec"]} | {dps8} |
+| local[32] (4N) | {results[32]["wall_sec"]} | {dps32} |
+
+**Scaling efficiency N->4N = {dps32:.1f} / (4 x {dps8:.1f}) =
+{eff:.3f}** (requirement >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+Secondary: pure-numpy kernel ceiling (no Spark) =
+{kernel_ceiling:.0f} docs/sec/core on this input size.
+
+Machine: 32 cores, 125 GB RAM, PySpark 4.1.2 local mode, RocksDB state
+store with changelog checkpointing. Headline per-round numbers land in
+BENCH_r{{N}}.json via bench.py (sf0.1 tier).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"results": results, "efficiency": round(eff, 3)}))
+
+
+def _kernel_ceiling() -> float:
+    import time as _t
+
+    from glcmstream import fixtures, kernel
+    df = fixtures.gen_pages(300, seed=9, min_tokens=5000, max_tokens=9000)
+    htmls = df["html"].tolist()
+    kernel.featurize_htmls(htmls[:32])
+    t0 = _t.perf_counter()
+    kernel.featurize_htmls(htmls)
+    return len(htmls) / (_t.perf_counter() - t0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""One scaling-run leg: the streaming GLCM job at a given local[N].
+
+Usage: python BENCH/scaling_job.py <cpus> <pages_dir> <n_pages>
+Prints one JSON line {"cpus": N, "wall_sec": t, "docs_per_sec": r}.
+
+Run in a fresh process per leg so each parallelism level gets its own JVM
+(the sandbox proxy for separate cluster sizes, per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "src"))
+os.environ["PYTHONPATH"] = (os.path.join(REPO, "src") + os.pathsep
+                            + os.environ.get("PYTHONPATH", ""))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    pages_dir = sys.argv[2]
+    n_pages = int(sys.argv[3])
+
+    from glcmstream import stream
+    from glcmstream.session import get_spark
+
+    os.environ.setdefault("GLCMSTREAM_MAX_PARTITION_BYTES", "8m")
+    # shuffle/state partitioning stays FIXED across cluster sizes (as it
+    # would on a real cluster); only the executor count changes
+    spark = get_spark("glcm-scaling", master=f"local[{cpus}]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    ckpt = os.path.join(REPO, ".scratch", f"scaling_ckpt_{cpus}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # warm the JVM + python workers on a small prefix so the measured run
+    # is steady-state (identical for both legs)
+    warm = stream.read_pages_batch(spark, pages_dir).limit(64)
+    from glcmstream import plan
+    plan.featurize(warm, parallelism=cpus).agg({"contrast": "avg"}).collect()
+
+    t0 = time.perf_counter()
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=16)
+    # no repartition: scan splits (maxPartitionBytes) provide parallelism,
+    # so the html binary never crosses a shuffle — only the six feature
+    # doubles shuffle into the windowed aggregation
+    agg = stream.windowed_feature_agg(sdf)
+    q = (agg.writeStream.outputMode("update")
+         .foreachBatch(lambda df, eid: df.count())
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+
+    # sustained throughput: drop the first two data epochs (query start,
+    # worker/JIT warmup) and measure rows / trigger time over the rest —
+    # the steady-state rate a long-running crawl stream would see.
+    import json as _json
+    progress = [_json.loads(p.json) for p in q.recentProgress]
+    data = [p for p in progress if p["numInputRows"] > 0]
+    steady = data[2:] if len(data) > 3 else data
+    rows = sum(p["numInputRows"] for p in steady)
+    secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1e3
+    print(json.dumps({
+        "cpus": cpus, "wall_sec": round(wall, 2),
+        "docs_per_sec": round(rows / secs, 1),
+        "total_docs_per_sec": round(n_pages / wall, 1),
+        "epochs": len(data),
+    }))
+
+
+if __name__ == "__main__":
+    main()

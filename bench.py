@@ -62,7 +62,7 @@ def main() -> None:
     shutil.rmtree(ckpt, ignore_errors=True)
     t0 = time.perf_counter()
     sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=16)
-    agg = stream.windowed_feature_agg(sdf, parallelism=CPUS)
+    agg = stream.windowed_feature_agg(sdf)
     q = (agg.writeStream.format("memory").queryName("bench_winagg")
          .outputMode("complete").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
@@ -75,7 +75,7 @@ def main() -> None:
     # --- batch GLCM featurize + per-(lang,host) agg -------------------------
     t0 = time.perf_counter()
     pages = stream.read_pages_batch(spark, pages_dir)
-    feats = plan.featurize(pages, parallelism=CPUS * 2)
+    feats = plan.featurize(pages)
     out = (feats.groupBy("lang", "host")
            .agg(F.count(F.lit(1)).alias("n"), F.avg("contrast"),
                 F.avg("energy")))

@@ -20,6 +20,12 @@ QUANT_SHIFT: int = 8 - int(math.log2(GRAY_LEVELS))  # uint8 >> shift -> [0, L)
 # --- GLCM displacement (skimage graycomatrix convention) ---------------
 GLCM_DISTANCE: int = 1
 GLCM_ANGLE: float = 0.0        # radians; dr = round(d sin t), dc = round(d cos t)
+# full-pipeline featurize sums counts over the reference's default four
+# angles (0, 45, 90, 135 deg) x the distance list — the graycomatrix
+# contract takes lists of both; the sum is still a monoid, one L x L matrix
+GLCM_ANGLES: tuple[float, ...] = (0.0, 0.7853981633974483,
+                                  1.5707963267948966, 2.356194490192345)
+GLCM_DISTANCES: tuple[int, ...] = (1, 2)
 SYMMETRIC: bool = True
 NORMED: bool = True
 
@@ -46,8 +52,8 @@ SALT_BUCKETS: int = 8          # two-phase salted aggregation fan-out
 
 # --- spark session defaults (see session.py) ----------------------------
 SHUFFLE_PARTITIONS = 32
-# 2048 rows/batch: each doc decodes to a 64 KiB plane, so a batch holds
-# ~128 MiB of planes per python worker — 32 workers stay well under RAM
-# while amortizing Arrow transfer (swept in BENCH; 10k default OOM-risky)
-ARROW_MAX_RECORDS = 2_048
+# 512 rows/batch: at real page sizes (~50-100 KiB html) an Arrow batch is
+# ~25-50 MiB; 32 concurrent tasks keep JVM-side buffering bounded (the 10k
+# default put ~100 MiB x 32 tasks in flight and GC-stormed the local JVM)
+ARROW_MAX_RECORDS = 512
 SESSION_TZ = "UTC"

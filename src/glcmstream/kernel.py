@@ -27,6 +27,23 @@ import numpy as np
 from . import config
 
 
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    """Long-lived per-process scratch buffer (grown, never shrunk).
+
+    Python workers are long-lived and single-threaded; reusing buffers
+    keeps the hot path free of large fresh mmap allocations, whose page
+    faults serialize badly across 32 concurrent workers.
+    """
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < size or buf.dtype != np.dtype(dtype):
+        buf = np.empty(max(size, 1), dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf
+
+
 def displacement(distance: int = config.GLCM_DISTANCE,
                  angle: float = config.GLCM_ANGLE) -> tuple[int, int]:
     """skimage convention: dr = round(d*sin θ), dc = round(d*cos θ)."""
@@ -42,7 +59,8 @@ def displacement(distance: int = config.GLCM_DISTANCE,
 def decode_planes(htmls: Sequence[bytes],
                   w: int = config.PLANE_W,
                   h: int = config.PLANE_H,
-                  levels: int = config.GRAY_LEVELS) -> np.ndarray:
+                  levels: int = config.GRAY_LEVELS,
+                  out: np.ndarray | None = None) -> np.ndarray:
     """Decode a batch of raw html byte strings into (n, h, w) uint8 planes.
 
     Deterministic: take the first w*h bytes (zero-pad short docs), then
@@ -51,7 +69,11 @@ def decode_planes(htmls: Sequence[bytes],
     """
     n = len(htmls)
     size = w * h
-    flat = np.zeros((n, size), dtype=np.uint8)
+    if out is None:
+        flat = np.zeros((n, size), dtype=np.uint8)
+    else:
+        flat = out
+        flat.fill(0)
     for k, b in enumerate(htmls):
         if b is None:
             continue
@@ -59,7 +81,8 @@ def decode_planes(htmls: Sequence[bytes],
         if m:
             flat[k, :m] = np.frombuffer(b, dtype=np.uint8, count=m)
     shift = 8 - int(np.log2(levels))
-    return (flat >> shift).reshape(n, h, w)
+    np.right_shift(flat, shift, out=flat)
+    return flat.reshape(n, h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -84,21 +107,27 @@ def glcm_counts_batch(planes: np.ndarray,
     c0, c1 = max(0, -dc), w - max(0, dc)
     a = planes[:, r0:r1, c0:c1]
     b = planes[:, r0 + dr:r1 + dr, c0 + dc:c1 + dc]
-    # pair index fits uint16 for L<=256; chunk docs to bound the transient
-    # index buffer (a 2048-doc Arrow batch would otherwise need ~1 GiB)
-    pair = (a.astype(np.uint16) * np.uint16(L) + b).reshape(n, -1)
-    counts = np.empty((n, L * L), dtype=np.float64)
-    chunk = max(1, 4_000_000 // max(pair.shape[1], 1))
-    for s in range(0, n, chunk):
-        e = min(n, s + chunk)
-        k = e - s
-        idx = pair[s:e].astype(np.int32)
-        idx += (np.arange(k, dtype=np.int32) * (L * L))[:, None]
-        counts[s:e] = np.bincount(
-            idx.ravel(), minlength=k * L * L).reshape(k, L * L)
+    # One small scratch buffer reused across docs: the per-doc pair-index
+    # array is ~4B/pixel, so per-doc processing stays in the allocator
+    # arena / CPU cache. (A single batch-wide index buffer costs 100s of
+    # MiB of freshly mapped memory per Arrow batch and page-fault time
+    # dominated the kernel 10-20x in profiling.)
+    counts = _scratch("counts", n * L * L, np.float64)[:n * L * L] \
+        .reshape(n, L * L)
+    rows, cols = a.shape[1:]
+    tmp = _scratch("pairidx", rows * cols, np.int32)[:rows * cols] \
+        .reshape(rows, cols)
+    flat = tmp.reshape(-1)
+    for k in range(n):
+        np.copyto(tmp, a[k])    # widen uint8 -> int32 before scaling
+        tmp *= L
+        tmp += b[k]
+        counts[k] = np.bincount(flat, minlength=L * L)
     counts = counts.reshape(n, L, L)
     if symmetric:
         counts = counts + counts.transpose(0, 2, 1)
+    else:
+        counts = counts.copy()  # hand the caller an owned array
     return counts
 
 
@@ -155,38 +184,56 @@ def glcm_counts_htmls(htmls: Sequence[bytes],
                       w: int = config.PLANE_W,
                       h: int = config.PLANE_H,
                       levels: int = config.GRAY_LEVELS,
-                      symmetric: bool = config.SYMMETRIC) -> np.ndarray:
+                      symmetric: bool = config.SYMMETRIC,
+                      angles: tuple[float, ...] | None = None,
+                      distances: tuple[int, ...] | None = None
+                      ) -> np.ndarray:
     """Exact per-document GLCM counts for a batch of html byte strings.
 
-    Equivalent to glcm_counts_batch(decode_planes(htmls)) — proven by
+    Counts are summed over `angles` (default: the reference's four-angle
+    set at distance GLCM_DISTANCE) — a sum of monoids is a monoid, so the
+    streaming state shape is unchanged. Equivalent to summing
+    glcm_counts_batch(decode_planes(htmls), dr, dc) per angle — proven by
     test_fast_path_equals_full_plane — but skips the zero-padded tail of
     each plane: a document's bytes fill the plane row-major, so every pair
     whose source row lies past the content is (0,0); their count is closed
     form ((H - rows_used) * (W - |dc|)). Web pages are ~1-100 KiB, so this
     makes cost proportional to content, not to the fixed plane size — the
     difference between ~100 and ~10k docs/s/core at 100 TB.
-
-    Processes in chunks of 256 docs to keep the transient index buffers
-    cache-friendly (large flat allocations measurably thrash).
     """
-    dr, dc = displacement()
+    if angles is None:
+        angles = config.GLCM_ANGLES
+    if distances is None:
+        distances = config.GLCM_DISTANCES
+    disps = [displacement(d, t) for d in distances for t in angles]
+    max_dr = max(abs(dr) for dr, _ in disps)
     n = len(htmls)
     L = levels
-    counts = np.empty((n, L, L), dtype=np.float64)
+    counts = np.zeros((n, L, L), dtype=np.float64)
     pad_scale = 2.0 if symmetric else 1.0
     chunk = 256
     for s in range(0, n, chunk):
         batch = htmls[s:s + chunk]
+        k = len(batch)
         lens = [min(len(b) if b is not None else 0, w * h) for b in batch]
         rows_c = (max(lens) + w - 1) // w if batch else 0
-        rows_used = min(h, max(rows_c + abs(dr), abs(dr) + 1))
-        planes = decode_planes(batch, w=w, h=rows_used, levels=L)
-        c = glcm_counts_batch(planes, dr=dr, dc=dc, levels=L,
-                              symmetric=symmetric)
-        pad_pairs = (h - rows_used) * (w - abs(dc))
-        if pad_pairs > 0:
-            c[:, 0, 0] += pad_scale * pad_pairs
-        counts[s:s + len(batch)] = c
+        rows_all = min(h, max(rows_c + max_dr, max_dr + 1))
+        # long-lived scratch: steady-state calls never allocate large
+        # fresh memory (mmap page-fault storms dominate under 32-way
+        # worker parallelism otherwise — measured 10-40x)
+        pbuf = _scratch("planes", chunk * h * w, np.uint8)
+        planes = decode_planes(
+            batch, w=w, h=rows_all, levels=L,
+            out=pbuf[:k * rows_all * w].reshape(k, rows_all * w))
+        out = counts[s:s + k]
+        for dr, dc in disps:
+            rows_used = min(h, max(rows_c + abs(dr), abs(dr) + 1))
+            c = glcm_counts_batch(planes[:, :rows_used, :], dr=dr, dc=dc,
+                                  levels=L, symmetric=symmetric)
+            pad_pairs = (h - rows_used) * (w - abs(dc))
+            if pad_pairs > 0:
+                c[:, 0, 0] += pad_scale * pad_pairs
+            out += c
     return counts
 
 

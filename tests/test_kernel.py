@@ -86,17 +86,23 @@ def test_decode_planes_pad_truncate_quantize():
 
 
 def test_fast_path_equals_full_plane():
-    """glcm_counts_htmls (analytic zero-padding shortcut) must equal the
-    exhaustive full-plane computation bit for bit."""
+    """glcm_counts_htmls (analytic zero-padding shortcut, multi-angle sum)
+    must equal the exhaustive full-plane computation bit for bit."""
     rng = np.random.default_rng(3)
     htmls = [bytes(rng.integers(0, 256, int(k)).astype(np.uint8))
              for k in [0, 1, 100, 1600, 257, 256 * 256, 300_000]]
     fast = kernel.glcm_counts_htmls(htmls)
-    full = kernel.glcm_counts_batch(kernel.decode_planes(htmls))
+    planes = kernel.decode_planes(htmls)
+    full = np.zeros_like(fast)
+    for d in config.GLCM_DISTANCES:
+        for theta in config.GLCM_ANGLES:
+            dr, dc = kernel.displacement(d, theta)
+            full += kernel.glcm_counts_batch(planes, dr=dr, dc=dc)
     np.testing.assert_array_equal(fast, full)
-    # and for a vertical displacement too
-    fast_v = kernel.glcm_counts_htmls(htmls[:4])
-    assert fast_v.shape == (4, 32, 32)
+    # single-angle path stays available and exact
+    fast1 = kernel.glcm_counts_htmls(htmls, angles=(0.0,), distances=(1,))
+    full1 = kernel.glcm_counts_batch(planes, dr=0, dc=1)
+    np.testing.assert_array_equal(fast1, full1)
 
 
 def test_featurize_htmls_end_to_end_shapes():
