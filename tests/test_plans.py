@@ -1,0 +1,86 @@
+"""Plan-quality golden tests (SURVEY.md §4.2): the optimizations we rely
+on must actually appear in the physical plan — pushdown, pruning,
+broadcast, whole-stage codegen, and UDF-stage placement.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from glcmstream import plan, queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = queries.QUERIES["filter_pushdown_part"](spark, SF)
+    s = _executed(df)
+    assert "PushedFilters: [" in s
+    # size/retailprice predicates pushed to the scan
+    assert "p_size" in s.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning_never_reads_html_for_metadata_query(spark):
+    """A query over pages that touches only url/lang must not read html
+    (the 100TB-killer would be scanning the payload for a count)."""
+    pages = plan.pages_from_documents(spark, SF)
+    q = pages.groupBy("lang").count()
+    s = _executed(q)
+    # ReadSchema of the documents scan excludes text (html is derived
+    # from text, so text absent == payload not read)
+    read_schema = s.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
+    assert "lang" in read_schema
+
+
+def test_broadcast_join_used_for_small_dims(spark):
+    df = queries.QUERIES["join_broadcast_region"](spark, SF)
+    s = _executed(df)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_semi_anti_join_strategies(spark):
+    s1 = _executed(queries.QUERIES["anti_join_customers"](spark, SF))
+    assert "LeftAnti" in s1
+    s2 = _executed(queries.QUERIES["semi_join_suppliers"](spark, SF))
+    assert "LeftSemi" in s2
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = queries.QUERIES["pricing_summary"](spark, SF)
+    assert "WholeStageCodegen" in _executed(df)
+
+
+def test_featurize_udf_is_single_arrow_stage_after_pruning(spark):
+    """Exactly one ArrowEvalPython node; filters placed before it (Catalyst
+    can't see through the UDF, so plan construction must — SURVEY.md §4.2)."""
+    pages = plan.pages_from_documents(spark, SF).filter(F.col("lang") == "en")
+    feats = plan.featurize(pages)
+    s = _executed(feats.groupBy("lang").agg(F.avg("contrast")))
+    assert s.count("ArrowEvalPython") == 1
+    # the lang filter must appear below (after in text order) the Arrow node
+    arrow_pos = s.index("ArrowEvalPython")
+    assert "en" in s[arrow_pos:], "filter should be pushed below the UDF"
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    s = _executed(queries.QUERIES["range_join_event_pairs"](spark, SF))
+    assert "NestedLoop" not in s, "bucketed range join degenerated to NLJ"
+
+
+def test_no_per_row_python_udf_lint():
+    """BASELINE.json:15: vectorized pandas/Arrow UDFs only — no
+    row-at-a-time @udf anywhere in the engine source."""
+    src_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "src", "glcmstream")
+    for fn in os.listdir(src_dir):
+        if not fn.endswith(".py"):
+            continue
+        body = open(os.path.join(src_dir, fn)).read()
+        assert "F.udf(" not in body and "@udf(" not in body, fn
+        assert "spark.udf.register" not in body, fn
