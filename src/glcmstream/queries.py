@@ -914,3 +914,156 @@ def dedup_first_crawl(spark, sf_dir):
     return (pages.groupBy("url")
             .agg(F.min("warc_ts").alias("first_seen"),
                  F.count(F.lit(1)).alias("n_crawls")))
+
+
+@register("grouping_sets_orders", """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 0) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus))
+""")
+def grouping_sets_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    name = f"orders_gs_{uuid.uuid4().hex[:8]}"
+    o.createOrReplaceTempView(name)
+    return spark.sql(f"""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 0) AS total
+        FROM {name}
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus))""")
+
+
+@register("hour_histogram_events", """
+SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""")
+def hour_histogram_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.hour("ts").cast("int").alias("hour_of_day"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+@register("embedding_slice_stats", """
+SELECT vec_id,
+       round(list_aggregate(list_transform(embedding[1:8],
+             x -> CAST(x AS DOUBLE)), 'sum'), 4) AS head_sum,
+       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4)
+         AS vec_max
+FROM embeddings WHERE vec_id < 50
+""")
+def embedding_slice_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0),
+                            lambda a, x: a + x), 4).alias("head_sum"),
+        F.round(F.array_max(v), 4).alias("vec_max"))
+
+
+@register("approx_distinct_parts")  # rows-only: HLL sketch values engine-
+def approx_distinct_parts(spark, sf_dir):  # specific by design
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+def _derived_pages_stream(spark, sf_dir):
+    """Write the deterministic derived pages table to scratch parquet and
+    open it as a file micro-batch stream (queries can't stream a derived
+    DataFrame directly)."""
+    import os
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch",
+        f"qpages_{abs(hash(sf_dir)) % 99999}")
+    pages = plan.pages_from_documents(spark, sf_dir)
+    pages.coalesce(4).write.mode("overwrite").parquet(out)
+    schema = spark.read.parquet(out).schema
+    return spark.readStream.schema(schema).parquet(out)
+
+
+@register("streaming_session_windows", """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+FROM marked GROUP BY user_id
+""")
+def streaming_session_windows(spark, sf_dir):
+    """True streaming session_window aggregation (30-min gap) over the
+    events stream; single availableNow batch, update mode, so final
+    sessions equal the batch gaps-and-islands oracle."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    sess = (sdf.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "30 minutes").alias("sw"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    qname = f"sessq_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (sess.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname).groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions")))
+
+
+@register("streaming_dedup_urls", f"""
+WITH {plan.PAGES_SQL_CTE}
+SELECT DISTINCT url FROM pages
+""")
+def streaming_dedup_urls(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over the derived pages stream."""
+    sdf = _derived_pages_stream(spark, sf_dir) \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    d = (sdf.withWatermark("warc_ts", "2 hours")
+         .dropDuplicatesWithinWatermark(["url"]).select("url"))
+    qname = f"dedupq_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (d.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register("streaming_stateful_glcm")  # rows-only: GLCM not SQL-expressible
+def streaming_stateful_glcm(spark, sf_dir):
+    """applyInPandasWithState incremental GLCM accumulation exposed as a
+    driver-checkable query (full pipeline: stream -> watermark -> stateful
+    co-occurrence accumulation -> features of the running total)."""
+    from pyspark.sql import Window as W
+
+    from . import state as state_mod
+    ensure_pyfiles(spark)
+    sdf = _derived_pages_stream(spark, sf_dir) \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = state_mod.stateful_glcm_agg(sdf)
+    qname = f"stateq_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = W.partitionBy("lang", "host", "window_start") \
+         .orderBy(F.desc("n_docs"))
+    final = (spark.table(qname)
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn", "n_batches"))
+    return final.select("lang", "host", "window_start", "n_docs",
+                        *[F.round(c, 4).alias(c)
+                          for c in config.HARALICK_FEATURES])
