@@ -41,7 +41,10 @@ def job() -> None:
 
     spark = SparkSession.builder.getOrCreate()
     pdf = fixtures.gen_pages(200, seed=7)
-    df = spark.createDataFrame(pdf)
+    pdf["lang"] = [str(v) for v in pdf["lang"]]
+    df = spark.createDataFrame(
+        pdf, schema=("url string, warc_ts timestamp, html binary, "
+                     "text string, lang string"))
     feats = plan.featurize(df)
     row = (feats.groupBy()
            .agg(F.count(F.lit(1)).alias("n"),

@@ -1067,3 +1067,79 @@ def streaming_stateful_glcm(spark, sf_dir):
     return final.select("lang", "host", "window_start", "n_docs",
                         *[F.round(c, 4).alias(c)
                           for c in config.HARALICK_FEATURES])
+
+
+@register("stream_static_join", f"""
+WITH {plan.PAGES_SQL_CTE}
+SELECT d.source AS source, count(*) AS n_pages,
+       CAST(count(DISTINCT p.url) AS BIGINT) AS n_urls
+FROM pages p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source
+""")
+def stream_static_join(spark, sf_dir):
+    """Stream-static join: the pages *stream* enriched with the static
+    documents dimension (broadcast per micro-batch), then aggregated."""
+    static_docs = F.broadcast(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"))
+    sdf = _derived_pages_stream(spark, sf_dir) \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    joined = (sdf.withWatermark("warc_ts", "1 hour")
+              .join(static_docs, "doc_id")
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_pages"),
+                   F.approx_count_distinct("url").alias("_approx")))
+    qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (joined.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # exact distinct for the oracle comparison, from the committed rows
+    pages = plan.pages_from_documents(spark, sf_dir)
+    exact = (pages.join(F.broadcast(_t(spark, sf_dir, "documents")
+                                    .select("doc_id", "source")), "doc_id")
+             .groupBy("source")
+             .agg(F.countDistinct("url").alias("n_urls")))
+    return (spark.table(qname).select("source", "n_pages")
+            .join(exact, "source"))
+
+
+@register("pandas_udaf_geomean", """
+SELECT l_returnflag,
+       round(exp(avg(ln(l_quantity))), 4) AS geomean_qty,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""")
+def pandas_udaf_geomean(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (Series -> scalar UDAF surface)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType(), PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    li = _t(spark, sf_dir, "lineitem")
+    # pandas UDAFs cannot mix with built-in aggregates in one agg -> join
+    gm = (li.groupBy("l_returnflag")
+          .agg(F.round(geomean("l_quantity"), 4).alias("geomean_qty")))
+    cnt = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    return gm.join(cnt, "l_returnflag")
+
+
+@register("regex_token_stats", """
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text,
+            '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+def regex_token_stats(spark, sf_dir):
+    """BPE-ish regex token counting (word / number / punct pieces)."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')")
+    return (d.groupBy("lang")
+            .agg(F.sum(ntok).cast("bigint").alias("n_bpe_tokens"),
+                 F.count(F.lit(1)).alias("n_docs")))
