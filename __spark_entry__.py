@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from glcmstream.session import ensure_pyfiles
 
     ensure_pyfiles(spark)
+    spark.conf.set("spark.sql.session.timeZone", config.SESSION_TZ)
     pages = plan.pages_from_documents(spark, "/root/testdata/sf0.001")
     feats = plan.featurize(pages)
     return (feats.groupBy("lang", "host",

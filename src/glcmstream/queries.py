@@ -32,8 +32,17 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Pin runtime-settable confs the oracle comparison depends on, even
+    when running under the driver's own session (timestamps are compared
+    against DuckDB's naive-UTC values)."""
+    spark.conf.set("spark.sql.session.timeZone", config.SESSION_TZ)
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql.types import TimestampNTZType
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # driver parquet carries TIMESTAMP_NTZ; event-time ops (watermark,
     # unix_micros) need TIMESTAMP — cast under the pinned UTC session tz
@@ -305,6 +314,7 @@ FROM j GROUP BY url
 """)
 def recrawl_interval_join(spark, sf_dir):
     """Batch twin of the stream-stream re-crawl interval join."""
+    _ensure_session_confs(spark)
     pages = plan.pages_from_documents(spark, sf_dir)
     p1 = pages.select(F.col("url"), F.col("warc_ts").alias("t1"))
     p2 = pages.select(F.col("url").alias("url2"),
@@ -455,6 +465,7 @@ SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
 FROM pages GROUP BY 1
 """)
 def string_fns_hosts(spark, sf_dir):
+    _ensure_session_confs(spark)
     pages = plan.pages_from_documents(spark, sf_dir)
     return (pages.select(
         F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
@@ -741,6 +752,7 @@ def extract_text_invariant(spark, sf_dir):
     """BASELINE.json:15 invariant: extracted text is byte-identical to
     the fixture text per url. The oracle counts all pages (invariant true
     by construction), so any extractor regression breaks the match."""
+    _ensure_session_confs(spark)
     ensure_pyfiles(spark)
     pages = plan.pages_from_documents(spark, sf_dir)
     ext = pages.withColumn("extracted", plan.extract_text_udf("html"))
@@ -753,6 +765,7 @@ def extract_text_invariant(spark, sf_dir):
 def glcm_lang_profile(spark, sf_dir):
     """Flagship payload: html -> plane -> GLCM -> Haralick, aggregated
     per (lang, host)."""
+    _ensure_session_confs(spark)
     ensure_pyfiles(spark)
     pages = plan.pages_from_documents(spark, sf_dir)
     feats = plan.featurize(pages)
@@ -765,6 +778,7 @@ def glcm_lang_profile(spark, sf_dir):
 @register("rendertile_profile")  # rows-only
 def rendertile_profile(spark, sf_dir):
     """Sliding-window rendertile stats per document, aggregated by lang."""
+    _ensure_session_confs(spark)
     ensure_pyfiles(spark)
     pages = plan.pages_from_documents(spark, sf_dir)
     rt = pages.withColumn("r", plan.rendertile_udf("html")).drop("html")
@@ -789,6 +803,7 @@ FROM pages GROUP BY 1
 def salted_host_agg(spark, sf_dir):
     """Salted two-phase aggregation over the deliberately hot host key;
     the oracle is the *unsalted* group-by — proving salting is exact."""
+    _ensure_session_confs(spark)
     pages = plan.pages_from_documents(spark, sf_dir)
     pre = pages.select(
         F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
@@ -910,6 +925,7 @@ FROM pages GROUP BY url
 def dedup_first_crawl(spark, sf_dir):
     """URL-level dedup keeping the earliest crawl (deterministic min,
     not dropDuplicates whose survivor is partition-order dependent)."""
+    _ensure_session_confs(spark)
     pages = plan.pages_from_documents(spark, sf_dir)
     return (pages.groupBy("url")
             .agg(F.min("warc_ts").alias("first_seen"),
@@ -982,6 +998,7 @@ def _derived_pages_stream(spark, sf_dir):
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".scratch",
         f"qpages_{abs(hash(sf_dir)) % 99999}")
+    _ensure_session_confs(spark)
     pages = plan.pages_from_documents(spark, sf_dir)
     pages.coalesce(4).write.mode("overwrite").parquet(out)
     schema = spark.read.parquet(out).schema
