@@ -919,7 +919,8 @@ def session_windows_batch(spark, sf_dir):
 
 @register("dedup_first_crawl", f"""
 WITH {plan.PAGES_SQL_CTE}
-SELECT url, min(warc_ts) AS first_seen, count(*) AS n_crawls
+SELECT url, CAST(floor(epoch(min(warc_ts))) AS BIGINT) AS first_seen_epoch,
+       count(*) AS n_crawls
 FROM pages GROUP BY url
 """)
 def dedup_first_crawl(spark, sf_dir):
@@ -928,7 +929,8 @@ def dedup_first_crawl(spark, sf_dir):
     _ensure_session_confs(spark)
     pages = plan.pages_from_documents(spark, sf_dir)
     return (pages.groupBy("url")
-            .agg(F.min("warc_ts").alias("first_seen"),
+            .agg(F.floor(F.unix_micros(F.min("warc_ts")) / 1e6)
+                 .cast("bigint").alias("first_seen_epoch"),
                  F.count(F.lit(1)).alias("n_crawls")))
 
 
