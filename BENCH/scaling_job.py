@@ -67,12 +67,61 @@ def main() -> None:
     steady = data[2:] if len(data) > 3 else data
     rows = sum(p["numInputRows"] for p in steady)
     secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1e3
+
+    checksum = (None if os.environ.get("GLCM_SKIP_DET")
+                else _determinism_checksum(spark, pages_dir))
     print(json.dumps({
         "cpus": cpus, "wall_sec": round(wall, 2),
         "docs_per_sec": round(rows / secs, 1),
         "total_docs_per_sec": round(n_pages / wall, 1),
         "epochs": len(data),
+        "state_checksum": checksum,
     }))
+
+
+def _determinism_checksum(spark, pages_dir: str) -> str:
+    """Bit-exact output identity across cluster sizes (north rule:
+    'identical GLCM feature values for identical input stream +
+    watermark'). The stateful path accumulates integer-valued count sums,
+    which float64 addition computes exactly in any order, so every emitted
+    row — keys, counts, all six features at full precision — must be
+    byte-identical between local[8] and local[32]. Checksum = xor of
+    xxhash64(epoch, every column as string) over all update-mode
+    emissions."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from glcmstream import state
+    from glcmstream import stream as stream_mod
+
+    subset = os.path.join(REPO, ".scratch",
+                          os.path.basename(pages_dir) + "_det8")
+    if not os.path.exists(os.path.join(subset, "part-0007.parquet")):
+        os.makedirs(subset, exist_ok=True)
+        for fn in sorted(os.listdir(pages_dir))[:8]:
+            _sh.copy(os.path.join(pages_dir, fn), subset)
+    ckpt = os.path.join(REPO, ".scratch", "det_ckpt")
+    _sh.rmtree(ckpt, ignore_errors=True)
+    sdf = stream_mod.pages_stream(spark, subset, max_files_per_trigger=2)
+    out = state.stateful_glcm_agg(sdf)
+    acc = []
+
+    def fb(df, eid):
+        h = (df.withColumn("_h", F.xxhash64(
+                F.lit(int(eid)), *[F.col(c).cast("string")
+                                   for c in df.columns]))
+             .agg(F.expr("bit_xor(_h)")).collect()[0][0])
+        acc.append(int(h) if h is not None else 0)
+
+    q = (out.writeStream.outputMode("update").foreachBatch(fb)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    x = 0
+    for v in acc:
+        x ^= v & 0xFFFFFFFFFFFFFFFF
+    return format(x, "016x")
 
 
 if __name__ == "__main__":
