@@ -30,6 +30,13 @@ def main() -> None:
     from glcmstream import stream
     from glcmstream.session import get_spark
 
+    # pin this leg to exactly `cpus` cores (inherited by the JVM, its GC/
+    # IO helper threads, and all python workers). Without this, the N-core
+    # leg borrows idle cores for JVM background work that a real N-executor
+    # cluster would have to fit inside N cores, flattering the small leg
+    # and understating scaling efficiency.
+    os.sched_setaffinity(0, range(cpus))
+
     os.environ.setdefault("GLCMSTREAM_MAX_PARTITION_BYTES", "8m")
     # shuffle/state partitioning stays FIXED across cluster sizes (as it
     # would on a real cluster); only the executor count changes
