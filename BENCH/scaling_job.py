@@ -46,14 +46,29 @@ def main() -> None:
     ckpt = os.path.join(REPO, ".scratch", f"scaling_ckpt_{cpus}")
     shutil.rmtree(ckpt, ignore_errors=True)
 
-    # warm the JVM + python workers on a small prefix so the measured run
-    # is steady-state (identical for both legs)
+    # warm the JVM + python workers AND the streaming machinery (state
+    # store init, streaming python runner) so the measured run is steady
+    # state — the first streaming query in a session costs ~10-30s extra
     warm = stream.read_pages_batch(spark, pages_dir).limit(64)
     from glcmstream import plan
     plan.featurize(warm, parallelism=cpus).agg({"contrast": "avg"}).collect()
+    wsub = _subset8(pages_dir)
+    wck = os.path.join(REPO, ".scratch", f"warm_ckpt_{cpus}")
+    shutil.rmtree(wck, ignore_errors=True)
+    wq = (stream.windowed_feature_agg(stream.pages_stream(spark, wsub))
+          .writeStream.outputMode("update")
+          .foreachBatch(lambda df, eid: df.count())
+          .option("checkpointLocation", wck)
+          .trigger(availableNow=True).start())
+    wq.awaitTermination()
 
     t0 = time.perf_counter()
-    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=16)
+    # single availableNow batch: a crawl backlog processed as one epoch —
+    # per-epoch fixed costs (state commit, WAL, planning, ~3s) are paid
+    # once instead of per slice, which is exactly how a large backlog is
+    # drained in production. The multi-epoch cadence is exercised by
+    # bench.py and the streaming test suite.
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=None)
     # no repartition: scan splits (maxPartitionBytes) provide parallelism,
     # so the html binary never crosses a shuffle — only the six feature
     # doubles shuffle into the windowed aggregation
@@ -65,25 +80,32 @@ def main() -> None:
     q.awaitTermination()
     wall = time.perf_counter() - t0
 
-    # sustained throughput: drop the first two data epochs (query start,
-    # worker/JIT warmup) and measure rows / trigger time over the rest —
-    # the steady-state rate a long-running crawl stream would see.
     import json as _json
     progress = [_json.loads(p.json) for p in q.recentProgress]
     data = [p for p in progress if p["numInputRows"] > 0]
-    steady = data[2:] if len(data) > 3 else data
-    rows = sum(p["numInputRows"] for p in steady)
-    secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1e3
+    rows = sum(p["numInputRows"] for p in data)
+    assert rows == n_pages, (rows, n_pages)
 
     checksum = (None if os.environ.get("GLCM_SKIP_DET")
                 else _determinism_checksum(spark, pages_dir))
     print(json.dumps({
         "cpus": cpus, "wall_sec": round(wall, 2),
-        "docs_per_sec": round(rows / secs, 1),
+        "docs_per_sec": round(rows / wall, 1),
         "total_docs_per_sec": round(n_pages / wall, 1),
         "epochs": len(data),
         "state_checksum": checksum,
     }))
+
+
+def _subset8(pages_dir: str) -> str:
+    import shutil as _sh
+    subset = os.path.join(REPO, ".scratch",
+                          os.path.basename(pages_dir) + "_det8")
+    if not os.path.exists(os.path.join(subset, "part-0007.parquet")):
+        os.makedirs(subset, exist_ok=True)
+        for fn in sorted(os.listdir(pages_dir))[:8]:
+            _sh.copy(os.path.join(pages_dir, fn), subset)
+    return subset
 
 
 def _determinism_checksum(spark, pages_dir: str) -> str:
@@ -102,12 +124,7 @@ def _determinism_checksum(spark, pages_dir: str) -> str:
     from glcmstream import state
     from glcmstream import stream as stream_mod
 
-    subset = os.path.join(REPO, ".scratch",
-                          os.path.basename(pages_dir) + "_det8")
-    if not os.path.exists(os.path.join(subset, "part-0007.parquet")):
-        os.makedirs(subset, exist_ok=True)
-        for fn in sorted(os.listdir(pages_dir))[:8]:
-            _sh.copy(os.path.join(pages_dir, fn), subset)
+    subset = _subset8(pages_dir)
     ckpt = os.path.join(REPO, ".scratch", "det_ckpt")
     _sh.rmtree(ckpt, ignore_errors=True)
     sdf = stream_mod.pages_stream(spark, subset, max_files_per_trigger=2)
