@@ -32,13 +32,17 @@ LEGS = (8, 32)
 
 def ensure_fixture() -> tuple[str, int]:
     from glcmstream import fixtures
-    d = os.path.join(REPO, ".scratch", f"scale_pages_{N_DOCS}")
+    # rg256: 256-row parquet row groups (~11 MiB at ~45 KiB pages) — the
+    # fused-scan split granularity, sized so one split is ~1s of kernel
+    # work and task skew amortizes (see fused.py docstring)
+    d = os.path.join(REPO, ".scratch", f"scale_pages_{N_DOCS}_rg256")
     if not os.path.exists(os.path.join(d, "part-0063.parquet")):
         import shutil
         shutil.rmtree(d, ignore_errors=True)
         t0 = time.time()
         fixtures.write_pages_parquet(d, n_docs=N_DOCS, n_files=64,
-                                     min_tokens=5000, max_tokens=9000)
+                                     min_tokens=5000, max_tokens=9000,
+                                     row_group_rows=256)
         print(f"fixture built in {time.time()-t0:.0f}s", file=sys.stderr)
     return d, int(N_DOCS * 1.1)
 

@@ -26,8 +26,9 @@ def main() -> None:
     cpus = int(sys.argv[1])
     pages_dir = sys.argv[2]
     n_pages = int(sys.argv[3])
+    mode = os.environ.get("GLCM_SCALE_MODE", "fused")
 
-    from glcmstream import stream
+    from glcmstream import fused, stream
     from glcmstream.session import get_spark
 
     # pin this leg to exactly `cpus` cores (inherited by the JVM, its GC/
@@ -37,7 +38,12 @@ def main() -> None:
     # and understating scaling efficiency.
     os.sched_setaffinity(0, range(cpus))
 
-    os.environ.setdefault("GLCMSTREAM_MAX_PARTITION_BYTES", "8m")
+    # NOTE: round-1 set maxPartitionBytes=8m here to force split fan-out on
+    # small fixtures; at the 45 KiB-page scale fixture that creates ~1216
+    # tasks x ~180 ms fixed python-runner cost per task (measured: a noop
+    # pandas UDF over 132k rows costs 7.1s at 8m vs 0.8s at the 128m
+    # default) and was the round-1 scaling-gate failure. Default splits
+    # give 64-128 tasks here — plenty for 32 cores.
     # shuffle/state partitioning stays FIXED across cluster sizes (as it
     # would on a real cluster); only the executor count changes
     spark = get_spark("glcm-scaling", master=f"local[{cpus}]",
@@ -48,62 +54,102 @@ def main() -> None:
 
     # warm the JVM + python workers AND the streaming machinery (state
     # store init, streaming python runner) so the measured run is steady
-    # state — the first streaming query in a session costs ~10-30s extra
+    # state. The warm run is the IDENTICAL job over a 16-file subset: a
+    # fresh JVM's first big scan pays heap page-faults (24g heap), JIT of
+    # the whole-stage-codegen scan, Arrow writer classes and RocksDB JNI —
+    # measured 1.5-2x on the first run. Production drains a 10^12-doc
+    # backlog with warm executors; measuring the cold JVM would benchmark
+    # JVM startup, not the engine.
     warm = stream.read_pages_batch(spark, pages_dir).limit(64)
     from glcmstream import plan
     plan.featurize(warm, parallelism=cpus).agg({"contrast": "avg"}).collect()
-    wsub = _subset8(pages_dir)
+    wsub = _subset(pages_dir, 16)
     wck = os.path.join(REPO, ".scratch", f"warm_ckpt_{cpus}")
     shutil.rmtree(wck, ignore_errors=True)
-    wq = (stream.windowed_feature_agg(stream.pages_stream(spark, wsub))
+    wq = (_job(spark, mode, wsub, None, cpus)
           .writeStream.outputMode("update")
           .foreachBatch(lambda df, eid: df.count())
           .option("checkpointLocation", wck)
           .trigger(availableNow=True).start())
     wq.awaitTermination()
 
+    # ground-truth doc count from the parquet footers (the streaming
+    # source's numInputRows counts manifest/split rows in fused mode)
+    n_docs_actual = sum(s[2] for s in fused.plan_splits(pages_dir))
+    assert n_docs_actual == n_pages, (n_docs_actual, n_pages)
+
+    cpu0 = _cpu_snap()
     t0 = time.perf_counter()
     # single availableNow batch: a crawl backlog processed as one epoch —
     # per-epoch fixed costs (state commit, WAL, planning, ~3s) are paid
     # once instead of per slice, which is exactly how a large backlog is
     # drained in production. The multi-epoch cadence is exercised by
     # bench.py and the streaming test suite.
-    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=None)
-    # no repartition: scan splits (maxPartitionBytes) provide parallelism,
-    # so the html binary never crosses a shuffle — only the six feature
-    # doubles shuffle into the windowed aggregation
-    agg = stream.windowed_feature_agg(sdf)
+    agg = _job(spark, mode, pages_dir, None, cpus)
     q = (agg.writeStream.outputMode("update")
          .foreachBatch(lambda df, eid: df.count())
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
     wall = time.perf_counter() - t0
+    cpu = _cpu_delta(cpu0, _cpu_snap())
 
-    import json as _json
-    progress = [_json.loads(p.json) for p in q.recentProgress]
-    data = [p for p in progress if p["numInputRows"] > 0]
-    rows = sum(p["numInputRows"] for p in data)
-    assert rows == n_pages, (rows, n_pages)
+    rows = n_docs_actual
 
     checksum = (None if os.environ.get("GLCM_SKIP_DET")
                 else _determinism_checksum(spark, pages_dir))
     print(json.dumps({
-        "cpus": cpus, "wall_sec": round(wall, 2),
+        "cpus": cpus, "mode": mode, "wall_sec": round(wall, 2),
         "docs_per_sec": round(rows / wall, 1),
-        "total_docs_per_sec": round(n_pages / wall, 1),
-        "epochs": len(data),
+        "steal_pct": cpu["steal_pct"],
+        "busy_pct": cpu["busy_pct"],
         "state_checksum": checksum,
     }))
 
 
-def _subset8(pages_dir: str) -> str:
+def _job(spark, mode: str, pages_dir: str,
+         max_files_per_trigger: int | None, cpus: int):
+    """The measured streaming job: manifest-fused scan+featurize (default)
+    or the classic html-through-Arrow UDF path, into the same watermarked
+    (lang, host) tumbling-window aggregate."""
+    from glcmstream import fused, stream
+    if mode == "fused":
+        mdir = os.path.join(REPO, ".scratch",
+                            os.path.basename(pages_dir) + "_manifests")
+        feats = fused.fused_features_stream(
+            spark, pages_dir, mdir,
+            max_files_per_trigger=max_files_per_trigger, parallelism=128)
+        return stream.windowed_agg_over_features(feats)
+    sdf = stream.pages_stream(
+        spark, pages_dir, max_files_per_trigger=max_files_per_trigger)
+    return stream.windowed_feature_agg(sdf)
+
+
+def _cpu_snap() -> list[int]:
+    """Whole-host /proc/stat counters, bracketing the measured window so
+    hypervisor steal bursts (4-11% typical, spikes beyond) are recorded
+    alongside every throughput sample instead of silently corrupting it."""
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
+def _cpu_delta(a: list[int], b: list[int]) -> dict:
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    # fields: user nice system idle iowait irq softirq steal
+    steal = d[7] / tot
+    busy = (d[0] + d[1] + d[2]) / tot
+    return {"steal_pct": round(100 * steal, 1),
+            "busy_pct": round(100 * busy, 1)}
+
+
+def _subset(pages_dir: str, n: int = 8) -> str:
     import shutil as _sh
     subset = os.path.join(REPO, ".scratch",
-                          os.path.basename(pages_dir) + "_det8")
-    if not os.path.exists(os.path.join(subset, "part-0007.parquet")):
+                          os.path.basename(pages_dir) + f"_det{n}")
+    if not os.path.exists(os.path.join(subset, f"part-{n-1:04d}.parquet")):
         os.makedirs(subset, exist_ok=True)
-        for fn in sorted(os.listdir(pages_dir))[:8]:
+        for fn in sorted(os.listdir(pages_dir))[:n]:
             _sh.copy(os.path.join(pages_dir, fn), subset)
     return subset
 
@@ -124,7 +170,7 @@ def _determinism_checksum(spark, pages_dir: str) -> str:
     from glcmstream import state
     from glcmstream import stream as stream_mod
 
-    subset = _subset8(pages_dir)
+    subset = _subset(pages_dir, 8)
     ckpt = os.path.join(REPO, ".scratch", "det_ckpt")
     _sh.rmtree(ckpt, ignore_errors=True)
     sdf = stream_mod.pages_stream(spark, subset, max_files_per_trigger=2)

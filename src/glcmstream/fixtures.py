@@ -92,10 +92,16 @@ def gen_pages(n_docs: int, seed: int = 42, hot_host_frac: float = 0.0,
 
 def write_pages_parquet(out_dir: str, n_docs: int, seed: int = 42,
                         n_files: int = 8, hot_host_frac: float = 0.0,
-                        min_tokens: int = 20, max_tokens: int = 400) -> str:
+                        min_tokens: int = 20, max_tokens: int = 400,
+                        row_group_rows: int | None = None) -> str:
     """Write pages as k parquet files in warc_ts-correlated order so
     readStream(maxFilesPerTrigger=1) replays a deterministic micro-batch
-    sequence (FIXTURES.md §1 'derived stream fixture')."""
+    sequence (FIXTURES.md §1 'derived stream fixture').
+
+    row_group_rows bounds parquet row-group size: row groups are the
+    fused-scan split granularity (fused.plan_splits), so large fixtures
+    write ~256-row groups (≈10 MiB at CC page sizes) the way a production
+    ingest would size them for balanced scan tasks."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -114,5 +120,6 @@ def write_pages_parquet(out_dir: str, n_docs: int, seed: int = 42,
     for i, ix in enumerate(chunks):
         tbl = pa.Table.from_pandas(df.iloc[ix], schema=schema,
                                    preserve_index=False)
-        pq.write_table(tbl, os.path.join(out_dir, f"part-{i:04d}.parquet"))
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{i:04d}.parquet"),
+                       row_group_size=row_group_rows or len(ix) or 1)
     return out_dir

@@ -29,7 +29,8 @@ def get_spark(app: str = "glcmstream", master: str | None = None,
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                 str(config.ARROW_MAX_RECORDS))
+                 os.environ.get("GLCMSTREAM_ARROW_BATCH",
+                                str(config.ARROW_MAX_RECORDS)))
          .config("spark.sql.parquet.filterPushdown", "true")
          .config("spark.driver.memory",
                  os.environ.get("GLCMSTREAM_DRIVER_MEM", "24g"))

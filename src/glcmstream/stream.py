@@ -51,12 +51,25 @@ def windowed_feature_agg(sdf: DataFrame,
     never crosses the exchange.
     """
     src = sdf.repartition(parallelism) if parallelism else sdf
-    feats = (src.withWatermark("warc_ts", watermark)
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
-             .withColumn("f", plan.glcm_features_udf("html"))
-             .select("lang", "host", "warc_ts",
+    feats = (src.withColumn("f", plan.glcm_features_udf("html"))
+             .select("url", "warc_ts", "lang",
                      *[F.col(f"f.{n}").alias(n)
                        for n in config.HARALICK_FEATURES]))
+    return windowed_agg_over_features(feats, window=window,
+                                      watermark=watermark, slide=slide)
+
+
+def windowed_agg_over_features(feats: DataFrame,
+                               window: str = config.TUMBLING_WINDOW,
+                               watermark: str = config.WATERMARK_DELAY,
+                               slide: str | None = None) -> DataFrame:
+    """(url, warc_ts, lang, <6 features>) -> watermarked event-time window
+    aggregate keyed by (lang, host). Shared by the classic UDF path and
+    the fused manifest-scan path (fused.py) so both produce identical
+    plans downstream of featurization."""
+    feats = (feats.withWatermark("warc_ts", watermark)
+             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .drop("url"))
     win = (F.window("warc_ts", window, slide) if slide
            else F.window("warc_ts", window))
     return (feats.groupBy(win.alias("window"), "lang", "host")
