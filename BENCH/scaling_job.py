@@ -114,11 +114,16 @@ def _job(spark, mode: str, pages_dir: str,
     (lang, host) tumbling-window aggregate."""
     from glcmstream import fused, stream
     if mode == "fused":
+        # drain mode: one manifest file for the whole backlog (a single
+        # metadata open instead of a 64-file listing barrier), 128 fused
+        # tasks (~4 waves at 32 cores — small enough for tail balance,
+        # large enough that the ~0.2s/task python-runner cost stays <2%)
         mdir = os.path.join(REPO, ".scratch",
-                            os.path.basename(pages_dir) + "_manifests")
+                            os.path.basename(pages_dir) + "_manifest1")
         feats = fused.fused_features_stream(
             spark, pages_dir, mdir,
-            max_files_per_trigger=max_files_per_trigger, parallelism=128)
+            max_files_per_trigger=max_files_per_trigger, parallelism=128,
+            files_per_manifest=10_000)
         return stream.windowed_agg_over_features(feats)
     sdf = stream.pages_stream(
         spark, pages_dir, max_files_per_trigger=max_files_per_trigger)

@@ -72,24 +72,32 @@ def plan_splits(pages_dir: str) -> list[tuple[str, int, int]]:
     return out
 
 
-def write_split_manifests(pages_dir: str, manifest_dir: str) -> str:
-    """Materialize splits as one tiny manifest parquet per data file, so
-    `readStream(maxFilesPerTrigger=k)` replays k data files per micro-batch
-    — the same epoch cadence as streaming the data files themselves."""
+def write_split_manifests(pages_dir: str, manifest_dir: str,
+                          files_per_manifest: int = 1) -> str:
+    """Materialize splits as tiny manifest parquet files covering
+    `files_per_manifest` data files each, so
+    `readStream(maxFilesPerTrigger=k)` replays k manifests per micro-batch
+    — the same epoch cadence as streaming the data files themselves. A
+    backlog drain (trigger availableNow, one epoch) passes a large
+    files_per_manifest so the manifest scan is a single file open instead
+    of a listing barrier before the fused stage."""
     splits = plan_splits(pages_dir)
     by_file: dict[str, list[tuple[str, int, int]]] = {}
     for s in splits:
         by_file.setdefault(s[0], []).append(s)
     paths = sorted(by_file)
-    marker = os.path.join(manifest_dir, f"manifest-{len(paths)-1:04d}.parquet")
+    groups = [paths[i:i + files_per_manifest]
+              for i in range(0, len(paths), files_per_manifest)]
+    marker = os.path.join(manifest_dir,
+                          f"manifest-{len(groups)-1:04d}.parquet")
     if os.path.exists(marker):
         return manifest_dir
     os.makedirs(manifest_dir, exist_ok=True)
     schema = pa.schema([pa.field("path", pa.string()),
                         pa.field("row_group", pa.int32()),
                         pa.field("n_rows", pa.int64())])
-    for i, p in enumerate(paths):
-        rows = by_file[p]
+    for i, grp in enumerate(groups):
+        rows = [r for p in grp for r in by_file[p]]
         tbl = pa.table({"path": [r[0] for r in rows],
                         "row_group": [r[1] for r in rows],
                         "n_rows": [r[2] for r in rows]}, schema=schema)
@@ -176,14 +184,15 @@ def fused_features_batch(spark: SparkSession, pages_dir: str,
 def fused_features_stream(spark: SparkSession, pages_dir: str,
                           manifest_dir: str,
                           max_files_per_trigger: int | None = 1,
-                          parallelism: int | None = None) -> DataFrame:
+                          parallelism: int | None = None,
+                          files_per_manifest: int = 1) -> DataFrame:
     """Streaming fused scan over the split-manifest log (Iceberg-style).
 
     The WAL tracks manifest files; each micro-batch fans its split rows
     across `parallelism` tasks (metadata-only exchange), each of which
     reads and featurizes its row groups worker-side.
     """
-    write_split_manifests(pages_dir, manifest_dir)
+    write_split_manifests(pages_dir, manifest_dir, files_per_manifest)
     r = spark.readStream.schema(SPLIT_SCHEMA)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))

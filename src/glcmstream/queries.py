@@ -993,16 +993,20 @@ def approx_distinct_parts(spark, sf_dir):  # specific by design
 
 
 def _derived_pages_stream(spark, sf_dir):
-    """Write the deterministic derived pages table to scratch parquet and
+    """Write the deterministic derived pages table to scratch parquet
+    (once per sf_dir — stable md5-keyed dir with a completion marker, so
+    repeated queries() calls and concurrent driver runs reuse it) and
     open it as a file micro-batch stream (queries can't stream a derived
     DataFrame directly)."""
+    import hashlib
     import os
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".scratch",
-        f"qpages_{abs(hash(sf_dir)) % 99999}")
+        "qpages_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
     _ensure_session_confs(spark)
-    pages = plan.pages_from_documents(spark, sf_dir)
-    pages.coalesce(4).write.mode("overwrite").parquet(out)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        pages = plan.pages_from_documents(spark, sf_dir)
+        pages.coalesce(4).write.mode("overwrite").parquet(out)
     schema = spark.read.parquet(out).schema
     return spark.readStream.schema(schema).parquet(out)
 
@@ -1136,16 +1140,23 @@ def pandas_udaf_geomean(spark, sf_dir):
     from pyspark.sql.functions import PandasUDFType, pandas_udf
     from pyspark.sql.types import DoubleType
 
+    from pyspark.sql.types import LongType
+
     @pandas_udf(DoubleType(), PandasUDFType.GROUPED_AGG)
     def geomean(v):
         return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
 
+    @pandas_udf(LongType(), PandasUDFType.GROUPED_AGG)
+    def ncount(v):
+        return len(v)
+
     li = _t(spark, sf_dir, "lineitem")
-    # pandas UDAFs cannot mix with built-in aggregates in one agg -> join
-    gm = (li.groupBy("l_returnflag")
-          .agg(F.round(geomean("l_quantity"), 4).alias("geomean_qty")))
-    cnt = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
-    return gm.join(cnt, "l_returnflag")
+    # Spark 4.1 still rejects mixing pandas UDAFs with built-in aggs
+    # (INVALID_PANDAS_UDF_PLACEMENT), but two pandas UDAFs share one
+    # agg: one scan, one shuffle (round-1 used a two-scan join here)
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(geomean("l_quantity"), 4).alias("geomean_qty"),
+                 ncount("l_quantity").alias("n")))
 
 
 @register("regex_token_stats", """

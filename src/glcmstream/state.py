@@ -52,11 +52,17 @@ def _features_of_counts(counts: np.ndarray) -> dict[str, float]:
 
 def accumulate_glcm(key, pdfs: Iterator[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
-    """State function: add this batch's per-doc GLCM counts into the
-    group's accumulated matrix; emit the features of the running total.
+    """State function: add this batch's per-doc GLCM count vectors into
+    the group's accumulated matrix; emit the features of the running total.
 
-    key = (lang, host, window_start). Input rows carry raw `html`; the
-    numpy kernel vectorizes the whole Arrow batch at once.
+    key = (lang, host, window_start). Input rows carry `gvec` — the
+    per-document flattened L² count vector, computed MAP-SIDE by
+    glcm_vec_udf before the state exchange. The raw html never crosses
+    the shuffle (round-1 verdict: shuffling page bodies into 32 state
+    partitions serializes the whole corpus per window at 10^12 docs and
+    concentrates kernel compute on hot keys); the state function is a
+    pure vector sum, exact in any accumulation order because counts are
+    integer-valued float64.
     """
     lang, host, window_start = key
     if state.hasTimedOut:
@@ -74,8 +80,7 @@ def accumulate_glcm(key, pdfs: Iterator[pd.DataFrame],
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        batch_counts = kernel.glcm_counts_htmls(pdf["html"].tolist())
-        counts += batch_counts.sum(axis=0).ravel()
+        counts += np.sum(np.stack(pdf["gvec"].to_numpy()), axis=0)
         n_docs += len(pdf)
         n_batches += 1
     state.update((counts.tolist(), int(n_docs), int(n_batches)))
@@ -94,19 +99,36 @@ def accumulate_glcm(key, pdfs: Iterator[pd.DataFrame],
         "n_docs": int(n_docs), "n_batches": int(n_batches), **feats}])
 
 
+def glcm_vec_udf():
+    """Arrow UDF: html -> flattened L² GLCM count vector (map-side)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _vec(html: pd.Series) -> pd.Series:
+        counts = kernel.glcm_counts_htmls(html.tolist())
+        return pd.Series(list(counts.reshape(len(html), -1)))
+    return _vec
+
+
 def stateful_glcm_agg(pages_stream: DataFrame,
                       window: str = config.TUMBLING_WINDOW,
                       watermark: str = config.WATERMARK_DELAY,
                       timeout: str = GroupStateTimeout.EventTimeTimeout
                       ) -> DataFrame:
     """pages stream -> per-(lang, host, tumbling-window) incrementally
-    accumulated GLCM Haralick features."""
+    accumulated GLCM Haralick features.
+
+    Decode + per-doc GLCM run map-side (scan partitions, before any
+    exchange); only the fixed-size count vector shuffles to the state
+    partitions, so hot-host keys cost the state store an add, not a
+    kernel run, and page bodies never cross a shuffle."""
     keyed = (pages_stream
              .withWatermark("warc_ts", watermark)
              .withColumn("host", F.parse_url("url", F.lit("HOST")))
              .withColumn("window_start",
                          F.window("warc_ts", window).start)
-             .select("lang", "host", "window_start", "html", "warc_ts"))
+             .withColumn("gvec", glcm_vec_udf()("html"))
+             .select("lang", "host", "window_start", "gvec", "warc_ts"))
     return (keyed.groupBy("lang", "host", "window_start")
             .applyInPandasWithState(accumulate_glcm, OUTPUT_SCHEMA,
                                     STATE_SCHEMA, "update", timeout))
