@@ -46,6 +46,8 @@ def main() -> None:
     # give 64-128 tasks here — plenty for 32 cores.
     # shuffle/state partitioning stays FIXED across cluster sizes (as it
     # would on a real cluster); only the executor count changes
+    # one scan task per hand manifest (see fused.write_hand_manifests)
+    os.environ.setdefault("GLCMSTREAM_OPEN_COST", "128m")
     spark = get_spark("glcm-scaling", master=f"local[{cpus}]",
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,17 +116,17 @@ def _job(spark, mode: str, pages_dir: str,
     (lang, host) tumbling-window aggregate."""
     from glcmstream import fused, stream
     if mode == "fused":
-        # drain mode: one manifest file for the whole backlog (a single
-        # metadata open instead of a 64-file listing barrier), 128 fused
-        # tasks (~4 waves at 32 cores — small enough for tail balance,
-        # large enough that the ~0.2s/task python-runner cost stays <2%)
+        # drain mode: pre-dealt hand manifests, one scan task per hand
+        # (needs openCostInBytes >= maxPartitionBytes, set in main) — the
+        # scan IS the balanced fan-out; no repartition exchange. 128 hands
+        # = ~4 waves at 32 cores: small enough for tail balance, large
+        # enough that the per-task python-runner cost stays <2%.
+        hands = int(os.environ.get("GLCM_FUSED_TASKS", "128"))
         mdir = os.path.join(REPO, ".scratch",
-                            os.path.basename(pages_dir) + "_manifest1")
-        feats = fused.fused_features_stream(
-            spark, pages_dir, mdir,
-            max_files_per_trigger=max_files_per_trigger, parallelism=128,
-            files_per_manifest=10_000)
-        return stream.windowed_agg_over_features(feats)
+                            os.path.basename(pages_dir) + f"_hands{hands}")
+        feats = fused.fused_features_drain(spark, pages_dir, mdir, hands)
+        return stream.windowed_agg_over_features(
+            feats, window=os.environ.get("GLCM_SCALE_WINDOW", "10 minutes"))
     sdf = stream.pages_stream(
         spark, pages_dir, max_files_per_trigger=max_files_per_trigger)
     return stream.windowed_feature_agg(sdf)

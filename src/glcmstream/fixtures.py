@@ -93,10 +93,19 @@ def gen_pages(n_docs: int, seed: int = 42, hot_host_frac: float = 0.0,
 def write_pages_parquet(out_dir: str, n_docs: int, seed: int = 42,
                         n_files: int = 8, hot_host_frac: float = 0.0,
                         min_tokens: int = 20, max_tokens: int = 400,
-                        row_group_rows: int | None = None) -> str:
+                        row_group_rows: int | None = None,
+                        arrival_order: bool = False) -> str:
     """Write pages as k parquet files in warc_ts-correlated order so
     readStream(maxFilesPerTrigger=1) replays a deterministic micro-batch
     sequence (FIXTURES.md §1 'derived stream fixture').
+
+    arrival_order=True writes rows in CRAWL order instead (generation
+    index), so the ~10% late-shifted rows genuinely arrive out of
+    event-time order across micro-batch boundaries and the watermark
+    actually drops some — used by the late-data streaming tests. The
+    default stays event-time-sorted because the determinism/batch-parity
+    gates require a stream with no watermark drops (streaming == batch
+    row-for-row only holds when nothing is late beyond the watermark).
 
     row_group_rows bounds parquet row-group size: row groups are the
     fused-scan split granularity (fused.plan_splits), so large fixtures
@@ -107,7 +116,9 @@ def write_pages_parquet(out_dir: str, n_docs: int, seed: int = 42,
 
     df = gen_pages(n_docs, seed=seed, hot_host_frac=hot_host_frac,
                    min_tokens=min_tokens, max_tokens=max_tokens)
-    df = df.sort_values("warc_ts", kind="mergesort").reset_index(drop=True)
+    if not arrival_order:
+        df = df.sort_values("warc_ts", kind="mergesort") \
+            .reset_index(drop=True)
     os.makedirs(out_dir, exist_ok=True)
     schema = pa.schema([
         pa.field("url", pa.string()),

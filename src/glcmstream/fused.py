@@ -72,6 +72,35 @@ def plan_splits(pages_dir: str) -> list[tuple[str, int, int]]:
     return out
 
 
+def _splits_by_cost(pages_dir: str) -> list[tuple[str, int, int]]:
+    """Splits sorted by row-group byte size DESCENDING (deterministic
+    path/rg tiebreak). Row counts are near-uniform but GLCM cost is
+    content-proportional, so bytes are the cost proxy. A descending list
+    dealt round-robin across n tasks is LPT-style static balancing: every
+    task gets one split from each cost stratum, shrinking the last-wave
+    straggler tail that otherwise idles ~10% of a 32-core run."""
+    rows = []
+    for fn in sorted(os.listdir(pages_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        path = os.path.join(pages_dir, fn)
+        md = pq.ParquetFile(path).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            rows.append((g.total_byte_size, path, rg, g.num_rows))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    return [(p, rg, n) for _, p, rg, n in rows]
+
+
+def _deal(splits: list, n: int) -> list:
+    """Arrange a cost-desc split list so `parallelize(out, n)`'s contiguous
+    slices hold round-robin-dealt (balanced) hands."""
+    hands: list[list] = [[] for _ in range(n)]
+    for i, s in enumerate(splits):
+        hands[i % n].append(s)
+    return [s for h in hands for s in h]
+
+
 def write_split_manifests(pages_dir: str, manifest_dir: str,
                           files_per_manifest: int = 1) -> str:
     """Materialize splits as tiny manifest parquet files covering
@@ -81,7 +110,7 @@ def write_split_manifests(pages_dir: str, manifest_dir: str,
     backlog drain (trigger availableNow, one epoch) passes a large
     files_per_manifest so the manifest scan is a single file open instead
     of a listing barrier before the fused stage."""
-    splits = plan_splits(pages_dir)
+    splits = _splits_by_cost(pages_dir)  # cost-desc (see _deal rationale)
     by_file: dict[str, list[tuple[str, int, int]]] = {}
     for s in splits:
         by_file.setdefault(s[0], []).append(s)
@@ -97,7 +126,11 @@ def write_split_manifests(pages_dir: str, manifest_dir: str,
                         pa.field("row_group", pa.int32()),
                         pa.field("n_rows", pa.int64())])
     for i, grp in enumerate(groups):
-        rows = [r for p in grp for r in by_file[p]]
+        in_grp = set(grp)
+        # keep global cost-desc order within the manifest: the streaming
+        # repartition deals rows round-robin, so descending cost order
+        # yields balanced task hands (LPT) exactly like the batch path
+        rows = [s for s in splits if s[0] in in_grp]
         tbl = pa.table({"path": [r[0] for r in rows],
                         "row_group": [r[1] for r in rows],
                         "n_rows": [r[2] for r in rows]}, schema=schema)
@@ -174,9 +207,9 @@ def fused_features_batch(spark: SparkSession, pages_dir: str,
     per input partition, which Poisson-collides small split counts into
     2-3x task skew), then worker-side read+featurize. The scheduler's
     dynamic task assignment load-balances uneven split costs."""
-    splits = plan_splits(pages_dir)
-    n = parallelism or max(len(splits), 1)
-    rdd = spark.sparkContext.parallelize(splits, n)
+    splits = _splits_by_cost(pages_dir)
+    n = min(parallelism or len(splits), max(len(splits), 1))
+    rdd = spark.sparkContext.parallelize(_deal(splits, n), n)
     df = spark.createDataFrame(rdd, SPLIT_SCHEMA)
     return _features_df(df)
 
@@ -198,4 +231,40 @@ def fused_features_stream(spark: SparkSession, pages_dir: str,
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
     sdf = r.parquet(manifest_dir)
     sdf = sdf.repartition(parallelism or config.SHUFFLE_PARTITIONS * 4)
+    return _features_df(sdf)
+
+
+def write_hand_manifests(pages_dir: str, manifest_dir: str,
+                         hands: int) -> str:
+    """Backlog-drain manifest layout: `hands` manifest files, file j
+    holding the LPT-dealt hand j of the cost-desc split list. With
+    spark.sql.files.openCostInBytes >= maxPartitionBytes the scan gives
+    exactly one task per manifest file, so the fused stage needs NO
+    repartition exchange at all — scan IS the balanced fan-out (one
+    fewer stage barrier in the epoch's critical path)."""
+    splits = _splits_by_cost(pages_dir)
+    marker = os.path.join(manifest_dir, f"manifest-{hands-1:04d}.parquet")
+    if os.path.exists(marker):
+        return manifest_dir
+    os.makedirs(manifest_dir, exist_ok=True)
+    schema = pa.schema([pa.field("path", pa.string()),
+                        pa.field("row_group", pa.int32()),
+                        pa.field("n_rows", pa.int64())])
+    for j in range(hands):
+        rows = splits[j::hands]
+        tbl = pa.table({"path": [r[0] for r in rows],
+                        "row_group": [r[1] for r in rows],
+                        "n_rows": [r[2] for r in rows]}, schema=schema)
+        tmp = os.path.join(manifest_dir, f".tmp-manifest-{j:04d}.parquet")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(manifest_dir,
+                                     f"manifest-{j:04d}.parquet"))
+    return manifest_dir
+
+
+def fused_features_drain(spark: SparkSession, pages_dir: str,
+                         manifest_dir: str, hands: int) -> DataFrame:
+    """One-epoch backlog drain over hand manifests (no exchange)."""
+    write_hand_manifests(pages_dir, manifest_dir, hands)
+    sdf = spark.readStream.schema(SPLIT_SCHEMA).parquet(manifest_dir)
     return _features_df(sdf)

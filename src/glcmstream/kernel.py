@@ -293,23 +293,64 @@ def rendertile_maps(plane: np.ndarray, ws: int = config.RENDER_WS,
     return out
 
 
+def rendertile_maps_full(plane: np.ndarray, ws: int = config.RENDER_WS,
+                         dr: int | None = None, dc: int | None = None,
+                         levels: int = config.GRAY_LEVELS
+                         ) -> dict[str, np.ndarray]:
+    """All six per-pixel sliding-window GLCM property maps (completes A6:
+    round-1 shipped only the three integral-image-decomposable ones).
+
+    energy / ASM / correlation are nonlinear in the window GLCM, so they
+    need the actual per-window histogram. Still vectorized: one
+    sliding_window_view over the pair-index plane + a single scattered
+    np.add.at builds every window's L^2 histogram at once (O(windows x
+    pairs-per-window) adds, no per-pixel python GLCM), then
+    haralick_batch evaluates all windows in one shot. contrast /
+    dissimilarity / homogeneity come from the same histograms here;
+    test_rendertile_full_* pins them against both the integral-image
+    fast path and the naive per-window oracle.
+    """
+    if dr is None or dc is None:
+        dr, dc = displacement()
+    h, w = plane.shape
+    L = levels
+    r0, r1 = max(0, -dr), h - max(0, dr)
+    c0, c1 = max(0, -dc), w - max(0, dc)
+    a = plane[r0:r1, c0:c1].astype(np.int32)
+    b = plane[r0 + dr:r1 + dr, c0 + dc:c1 + dc].astype(np.int32)
+    pairs = a * L + b  # valid-region pair indices
+    wr, wc = ws - abs(dr), ws - abs(dc)
+    if wr <= 0 or wc <= 0:
+        raise ValueError("window smaller than displacement")
+    win = np.lib.stride_tricks.sliding_window_view(pairs, (wr, wc))
+    oh, ow = win.shape[:2]
+    nwin = oh * ow
+    flat = win.reshape(nwin, wr * wc)
+    counts = np.zeros((nwin, L * L), dtype=np.float64)
+    rows = np.repeat(np.arange(nwin), wr * wc)
+    np.add.at(counts, (rows, flat.ravel()), 1.0)
+    counts = counts.reshape(nwin, L, L)
+    counts = counts + counts.transpose(0, 2, 1)  # symmetric
+    P = normalize_glcm(counts)                   # normed
+    feats = haralick_batch(P)
+    return {k: v.reshape(oh, ow) for k, v in feats.items()}
+
+
 def rendertile_stats(htmls: Sequence[bytes],
                      plane: int = config.RENDER_PLANE,
                      ws: int = config.RENDER_WS) -> dict[str, np.ndarray]:
-    """Batch rendertile: per-document mean / p95 of the sliding contrast map."""
+    """Batch rendertile: per-document summary stats of the six sliding
+    property maps (mean of each; p95 of contrast)."""
     planes = decode_planes(htmls, w=plane, h=plane)
     n = planes.shape[0]
-    mean = np.zeros(n)
-    p95 = np.zeros(n)
-    hmean = np.zeros(n)
+    out = {f"{name}_mean": np.zeros(n) for name in config.HARALICK_FEATURES}
+    out["contrast_p95"] = np.zeros(n)
     for k in range(n):
-        maps = rendertile_maps(planes[k], ws=ws)
-        cm = maps["contrast"]
-        mean[k] = cm.mean()
-        p95[k] = np.percentile(cm, 95)
-        hmean[k] = maps["homogeneity"].mean()
-    return {"contrast_mean": mean, "contrast_p95": p95,
-            "homogeneity_mean": hmean}
+        maps = rendertile_maps_full(planes[k], ws=ws)
+        for name in config.HARALICK_FEATURES:
+            out[f"{name}_mean"][k] = maps[name].mean()
+        out["contrast_p95"][k] = np.percentile(maps["contrast"], 95)
+    return out
 
 
 # ---------------------------------------------------------------------------

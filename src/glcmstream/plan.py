@@ -20,11 +20,10 @@ from . import config, kernel
 FEATURE_SCHEMA = StructType(
     [StructField(n, DoubleType()) for n in config.HARALICK_FEATURES])
 
-RENDER_SCHEMA = StructType([
-    StructField("contrast_mean", DoubleType()),
-    StructField("contrast_p95", DoubleType()),
-    StructField("homogeneity_mean", DoubleType()),
-])
+RENDER_SCHEMA = StructType(
+    [StructField(f"{n}_mean", DoubleType())
+     for n in config.HARALICK_FEATURES]
+    + [StructField("contrast_p95", DoubleType())])
 
 # epoch µs of 2026-01-01T00:00:00Z — base event time for derived pages
 PAGES_BASE_US = 1_767_225_600_000_000

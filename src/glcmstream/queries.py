@@ -425,6 +425,33 @@ def setop_inactive_customers(spark, sf_dir):
 # Scalar functions: json / datetime / string / array
 # ===========================================================================
 
+@register("map_json_props", """
+WITH ks AS (
+  SELECT props, unnest(json_keys(props)) AS k FROM events
+  WHERE list_contains(json_keys(props), 'k')),
+kv AS (
+  SELECT k, json_extract_string(props, '$."' || k || '"') AS v FROM ks)
+SELECT k, count(*) AS n, count(DISTINCT v) AS n_distinct,
+       min(v) AS min_v, max(v) AS max_v
+FROM kv GROUP BY k
+""")
+def map_json_props(spark, sf_dir):
+    """Map-typed JSON surface (SURVEY §2.B): from_json -> MapType with
+    map_keys / map_values / explode — per-key stats over events.props
+    (round-1 exercised only get_json_object)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    keyed = (ev.withColumn("m", m)
+             .filter(F.array_contains(F.map_keys(F.col("m")), "k"))
+             .filter(F.size(F.map_values(F.col("m"))) > 0))
+    kv = keyed.select(F.explode("m").alias("k", "v"))
+    return (kv.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("v").alias("n_distinct"),
+                 F.min("v").alias("min_v"),
+                 F.max("v").alias("max_v")))
+
+
 @register("json_props_stats", """
 SELECT event_type,
        count(*) AS n,
@@ -623,11 +650,19 @@ WITH words AS (
   SELECT DISTINCT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+'))
     AS w
   FROM documents WHERE doc_id < 120),
-sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+dfw AS (SELECT w, count(*) AS df FROM words GROUP BY w),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM words a JOIN words b ON a.w = b.w AND a.lang = b.lang
    AND a.doc_id < b.doc_id
+  JOIN dfw ON dfw.w = a.w
+  WHERE dfw.df <= 12),
+sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.id_a
+  JOIN words wb ON wb.doc_id = c.id_b AND wb.w = wa.w
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
@@ -636,27 +671,40 @@ FROM inter JOIN sizes sa ON id_a = sa.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.30
 """)
 def jaccard_word_pairs(spark, sf_dir):
-    """Word-set (1-gram) Jaccard near-dup pairs via shared-token
-    equi-join — the SQL-expressible member of the dedup family."""
+    """Word-set (1-gram) Jaccard near-dup pairs — the SQL-expressible
+    member of the dedup family.
+
+    Scale shape (round-1 verdict): candidate generation joins only on
+    tokens with document frequency <= 12 — hot tokens (stopwords, lang
+    markers) otherwise blow the shared-token equi-join up quadratically
+    at corpus scale. Dropped hot tokens cost recall only for pairs whose
+    entire overlap is stopwords (which cannot reach jaccard 0.30 against
+    full-set verification anyway at these doc lengths); the exact Jaccard
+    is then computed on the FULL token sets for the surviving candidates.
+    The DuckDB twin applies the identical df cap."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     words = (d.select("doc_id", "lang",
                       F.explode(F.split("text", r"\s+")).alias("w"))
              .distinct())
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = words.alias("a"), words.alias("b")
-    inter = (a.join(b, (F.col("a.w") == F.col("b.w"))
-                    & (F.col("a.lang") == F.col("b.lang"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("id_a"),
-                      F.col("b.doc_id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("i")))
-    sa = sizes.select(F.col("doc_id").alias("id_a"),
-                      F.col("sz").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"),
-                      F.col("sz").alias("sb"))
-    j = (inter.join(sa, "id_a").join(sb, "id_b")
+    dfw = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    rare = words.join(dfw.filter(F.col("df") <= 12), "w")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                   & (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    sets = d.select("doc_id", F.array_distinct(F.split("text", r"\s+"))
+                    .alias("ws"))
+    j = (cand
+         .join(sets.select(F.col("doc_id").alias("id_a"),
+                           F.col("ws").alias("wa")), "id_a")
+         .join(sets.select(F.col("doc_id").alias("id_b"),
+                           F.col("ws").alias("wb")), "id_b")
+         .withColumn("i", F.size(F.array_intersect("wa", "wb")))
          .withColumn("jac", F.col("i").cast("double")
-                     / (F.col("sa") + F.col("sb") - F.col("i"))))
+                     / (F.size("wa") + F.size("wb") - F.col("i"))))
     return (j.filter(F.col("jac") >= 0.30)
             .select("id_a", "id_b", F.round("jac", 4).alias("jaccard")))
 
@@ -694,9 +742,14 @@ def ann_topk_cosine(spark, sf_dir):
 
 @register("ann_lsh_pairs")  # rows-only: seeded hyperplanes not in SQL
 def ann_lsh_pairs(spark, sf_dir):
+    """Banded hyperplane LSH near-neighbor pairs. min_cosine=0.4 because
+    the driver's random 64-dim embeddings top out at pairwise cos ~0.51
+    (sf0.01) — the threshold must sit inside the data's range for the
+    operator to demonstrate retrieval; recall vs brute force is pinned by
+    tests/test_dedup_recall.py on planted near-duplicates."""
     ensure_pyfiles(spark)
     return similarity.lsh_near_neighbors(
-        _t(spark, sf_dir, "embeddings"), min_cosine=0.5)
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.4)
 
 
 @register("multimodal_metadata", """
@@ -784,12 +837,50 @@ def rendertile_profile(spark, sf_dir):
     rt = pages.withColumn("r", plan.rendertile_udf("html")).drop("html")
     return (rt.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("r.contrast_mean"), 4)
-                 .alias("avg_contrast_mean"),
+                 *[F.round(F.avg(f"r.{n}_mean"), 4)
+                   .alias(f"avg_{n}_mean")
+                   for n in config.HARALICK_FEATURES],
                  F.round(F.avg("r.contrast_p95"), 4)
-                 .alias("avg_contrast_p95"),
-                 F.round(F.avg("r.homogeneity_mean"), 4)
-                 .alias("avg_homogeneity_mean")))
+                 .alias("avg_contrast_p95")))
+
+
+@register("iceberg_scan_pages", f"""
+WITH {plan.PAGES_SQL_CTE}
+SELECT strftime(warc_ts, '%Y-%m-%d') AS warc_day,
+       count(*) AS n_pages,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM pages WHERE doc_id % 2 = 0
+GROUP BY warc_day
+""")
+def iceberg_scan_pages(spark, sf_dir):
+    """Query-facing IcebergLite source (SURVEY §2.B "Iceberg-style table
+    scan"): pages committed in two epochs into a days(warc_ts)-partitioned
+    table, read back with time travel `as_of_epoch=0` — the oracle twin
+    is the even-doc_id half, i.e. exactly epoch 0's content. Exercises
+    commit manifests, snapshot-isolated listing, partition layout, and
+    the time-travel read path end-to-end under the driver's hash check."""
+    import hashlib
+    import os
+
+    from .sink import IcebergLiteTable
+    _ensure_session_confs(spark)
+    tdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch",
+        "qiceberg_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    table = IcebergLiteTable(tdir)
+    if not table.is_committed(1):
+        pages = plan.pages_from_documents(spark, sf_dir).drop("html")
+        table.commit(pages.filter(F.col("doc_id") % 2 == 0), 0,
+                     partition_days_col="warc_ts")
+        table.commit(pages.filter(F.col("doc_id") % 2 == 1), 1,
+                     partition_days_col="warc_ts")
+    snap = table.read(spark, as_of_epoch=0)  # time travel: epoch 0 only
+    # partition dirs are re-inferred as DATE on read; pin the declared
+    # days() transform type (string yyyy-MM-dd) for the oracle comparison
+    day = F.date_format("warc_day", "yyyy-MM-dd").alias("warc_day")
+    return (snap.groupBy(day)
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum("doc_id").alias("id_sum")))
 
 
 @register("salted_host_agg", f"""
@@ -1043,6 +1134,46 @@ def streaming_session_windows(spark, sf_dir):
     q.awaitTermination()
     return (spark.table(qname).groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_sessions")))
+
+
+@register("streaming_session_pages", f"""
+WITH {plan.PAGES_SQL_CTE},
+hosted AS (
+  SELECT lang, regexp_extract(url, 'https://([^/]+)/', 1) AS host, warc_ts
+  FROM pages),
+marked AS (
+  SELECT lang, host,
+         CASE WHEN lag(warc_ts) OVER w IS NULL
+              OR epoch(warc_ts) - epoch(lag(warc_ts) OVER w) >= 300
+         THEN 1 ELSE 0 END AS new_sess
+  FROM hosted
+  WINDOW w AS (PARTITION BY lang, host ORDER BY warc_ts))
+SELECT lang, host, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_pages
+FROM marked GROUP BY lang, host
+""")
+def streaming_session_pages(spark, sf_dir):
+    """True streaming session_window aggregation over the PAGES stream
+    keyed by (lang, url-host) — the exact keying named in
+    BASELINE.json:6 (round-1 exercised sessions only on events/user_id).
+    5-minute gap; availableNow; final sessions equal the DuckDB
+    gaps-and-islands oracle."""
+    sdf = (_derived_pages_stream(spark, sf_dir)
+           .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+           .withColumn("host", F.parse_url("url", F.lit("HOST"))))
+    sess = (sdf.withWatermark("warc_ts", "1 minute")
+            .groupBy(F.session_window("warc_ts", "5 minutes").alias("sw"),
+                     "lang", "host")
+            .agg(F.count(F.lit(1)).alias("n")))
+    qname = f"sesspages_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (sess.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname).groupBy("lang", "host")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n").alias("n_pages")))
 
 
 @register("streaming_dedup_urls", f"""

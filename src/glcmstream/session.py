@@ -50,9 +50,18 @@ def get_spark(app: str = "glcmstream", master: str | None = None,
          # into System.gc() storms — measured 8x on the featurize stage
          .config("spark.driver.extraJavaOptions",
                  "-XX:MaxDirectMemorySize="
-                 + os.environ.get("GLCMSTREAM_DIRECT_MEM", "24g"))
+                 + os.environ.get("GLCMSTREAM_DIRECT_MEM", "24g")
+                 # cap GC fan-out: on a core-pinned leg the default (one
+                 # GC thread per core) preempts python workers mid-kernel
+                 + " -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2")
+         # the UI's event-log/servlet threads burn a core at 32-way for
+         # nothing a benchmark or test ever reads
+         .config("spark.ui.enabled",
+                 os.environ.get("GLCMSTREAM_UI", "false"))
          .config("spark.sql.files.maxPartitionBytes",
                  os.environ.get("GLCMSTREAM_MAX_PARTITION_BYTES", "32m"))
+         .config("spark.sql.files.openCostInBytes",
+                 os.environ.get("GLCMSTREAM_OPEN_COST", "4194304"))
          # vectorized parquet reader holds batchSize rows of EVERY column
          # on-heap per task; at ~50-100 KiB html binaries the 4096 default
          # is ~200-400 MiB per task wave -> GC churn. 128 rows ~ 6-12 MiB

@@ -51,7 +51,8 @@ class IcebergLiteTable:
     def is_committed(self, epoch_id: int) -> bool:
         return os.path.exists(self._manifest_path(epoch_id))
 
-    def commit(self, batch_df: DataFrame, epoch_id: int) -> bool:
+    def commit(self, batch_df: DataFrame, epoch_id: int,
+               partition_days_col: str | None = None) -> bool:
         """Idempotent epoch commit. Returns False on replayed no-op.
 
         The epoch plan executes exactly ONCE — the parquet write. Lineage
@@ -64,9 +65,22 @@ class IcebergLiteTable:
         if self.is_committed(epoch_id):
             return False
         epoch_dir = os.path.join(self.data_dir, f"epoch={epoch_id}")
-        batch_df.write.mode("overwrite").parquet(epoch_dir)
+        w = batch_df
+        writer = None
+        if partition_days_col:
+            # Iceberg's days(<ts>) partition transform, realized as a
+            # derived directory column: data/epoch=N/warc_day=YYYY-MM-DD/.
+            # Readers filtering on warc_day get parquet partition pruning
+            # (FIXTURES.md §1 layout promise).
+            w = batch_df.withColumn(
+                "warc_day", F.date_format(partition_days_col, "yyyy-MM-dd"))
+            writer = w.write.partitionBy("warc_day")
+        else:
+            writer = w.write
+        writer.mode("overwrite").parquet(epoch_dir)
         spark = batch_df.sparkSession
-        written = spark.read.schema(batch_df.schema).parquet(epoch_dir)
+        written = spark.read.option("basePath", epoch_dir).parquet(epoch_dir)
+        written = written.select(*[c for c in w.columns])
         lineage = (written
                    .withColumn("_file", F.input_file_name())
                    .withColumn("_h", F.xxhash64(*[F.col(c).cast("string")
@@ -111,11 +125,21 @@ class IcebergLiteTable:
         return [json.load(open(self._manifest_path(e)))
                 for e in self.committed_epochs()]
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Snapshot-isolated read: only manifest-committed epoch dirs."""
+    def read(self, spark: SparkSession,
+             as_of_epoch: int | None = None) -> DataFrame:
+        """Snapshot-isolated read: only manifest-committed epoch dirs.
+
+        `as_of_epoch` is Iceberg-style time travel (snapshot-id = epoch
+        id): the returned DataFrame sees exactly the epochs committed at
+        or before it. The epoch list is resolved HERE, so commits landing
+        after read() never leak into the returned plan — snapshot
+        isolation under concurrent writers (test_snapshot_isolation)."""
         epochs = self.committed_epochs()
+        if as_of_epoch is not None:
+            epochs = [e for e in epochs if e <= as_of_epoch]
         if not epochs:
-            raise ValueError(f"no committed epochs in {self.table_dir}")
+            raise ValueError(f"no committed epochs in {self.table_dir}"
+                             f" (as_of_epoch={as_of_epoch})")
         paths = [os.path.join(self.data_dir, f"epoch={e}") for e in epochs]
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
 

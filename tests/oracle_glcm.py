@@ -63,12 +63,22 @@ def oracle_haralick(P):
 def oracle_rendertile_contrast(plane, ws, dr, dc, levels):
     """Naive sliding-window contrast map: one symmetric+normed GLCM per
     ws×ws window, property of that GLCM."""
+    return oracle_rendertile_map(plane, ws, dr, dc, levels)["contrast"]
+
+
+def oracle_rendertile_map(plane, ws, dr, dc, levels):
+    """Naive sliding-window property maps for ALL six Haralick features:
+    one symmetric+normed GLCM per ws×ws window, feature of that GLCM."""
     h, w = plane.shape
     oh, ow = h - ws + 1, w - ws + 1
-    out = np.zeros((oh, ow))
+    out = {k: np.zeros((oh, ow)) for k in
+           ("contrast", "dissimilarity", "homogeneity",
+            "energy", "correlation", "asm")}
     for r in range(oh):
         for c in range(ow):
             win = plane[r:r + ws, c:c + ws]
             P = oracle_glcm(win, dr, dc, levels, symmetric=True, normed=True)
-            out[r, c] = oracle_haralick(P)["contrast"]
+            feats = oracle_haralick(P)
+            for k in out:
+                out[k][r, c] = feats[k]
     return out

@@ -181,6 +181,38 @@ def test_rendertile_vertical_displacement():
     np.testing.assert_allclose(got, exp, rtol=1e-12)
 
 
+def test_rendertile_full_all_six_vs_oracle():
+    """A6 complete: energy/ASM/correlation need real per-window GLCMs;
+    every map must match the naive per-window symmetric+normed oracle."""
+    from oracle_glcm import oracle_rendertile_map
+    rng = np.random.default_rng(21)
+    plane = rng.integers(0, 8, (13, 11), dtype=np.uint8)
+    ws = 5
+    got = kernel.rendertile_maps_full(plane, ws=ws, dr=0, dc=1, levels=8)
+    exp = oracle_rendertile_map(plane, ws, 0, 1, 8)
+    for k in ("contrast", "dissimilarity", "homogeneity",
+              "energy", "correlation", "asm"):
+        np.testing.assert_allclose(got[k], exp[k], rtol=1e-12,
+                                   err_msg=k)
+
+
+def test_rendertile_full_agrees_with_integral_fast_path():
+    rng = np.random.default_rng(22)
+    plane = rng.integers(0, 32, (20, 20), dtype=np.uint8)
+    full = kernel.rendertile_maps_full(plane, ws=7, dr=0, dc=1, levels=32)
+    fast = kernel.rendertile_maps(plane, ws=7, dr=0, dc=1)
+    for k in ("contrast", "dissimilarity", "homogeneity"):
+        np.testing.assert_allclose(full[k], fast[k], rtol=1e-12)
+
+
+def test_rendertile_full_constant_plane_correlation_is_one():
+    plane = np.full((10, 10), 5, dtype=np.uint8)
+    maps = kernel.rendertile_maps_full(plane, ws=4, dr=0, dc=1, levels=8)
+    np.testing.assert_allclose(maps["correlation"], 1.0)
+    np.testing.assert_allclose(maps["energy"], 1.0)
+    np.testing.assert_allclose(maps["contrast"], 0.0)
+
+
 # ---------------------------------------------------------------------------
 # text extraction invariant
 # ---------------------------------------------------------------------------

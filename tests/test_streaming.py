@@ -244,6 +244,71 @@ def test_late_data_dropped(spark):
     assert got["n"].sum() == 3
 
 
+def test_out_of_order_fixture_late_drops(spark):
+    """Replay an ARRIVAL-ORDER pages fixture (late rows genuinely cross
+    micro-batch boundaries — round-1 advice: the sorted main fixture never
+    did) and pin the watermark's drop behavior against a python
+    simulation of Spark's semantics. Empirically (Spark 4.1, verified
+    against per-batch StreamingQueryProgress): the late filter for batch
+    k uses the watermark REPORTED for batch k-1, i.e. max event time over
+    batches <= k-2 minus the delay — one batch more lag than the progress
+    field suggests — and a row is dropped iff its window end <= that
+    filter watermark."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(SCRATCH, "pages_arrival_600")
+    if not os.path.exists(os.path.join(d, "part-0007.parquet")):
+        shutil.rmtree(d, ignore_errors=True)
+        fixtures.write_pages_parquet(d, n_docs=600, n_files=8,
+                                     arrival_order=True)
+    delay = pd.Timedelta("10 minutes")
+    win = pd.Timedelta("10 minutes")
+
+    # simulate: files replay in name order, one per micro-batch
+    files = sorted(os.listdir(d))
+    seen_max = pd.Timestamp.min
+    r_prev = pd.Timestamp.min      # watermark reported for previous batch
+    expected: dict[pd.Timestamp, int] = {}
+    n_dropped = 0
+    for fn in files:
+        r_cur = (seen_max - delay if seen_max > pd.Timestamp.min
+                 else pd.Timestamp.min)   # reported wm of THIS batch
+        filter_wm = r_prev                # filter uses previous report
+        ts = pq.read_table(os.path.join(d, fn),
+                           columns=["warc_ts"])["warc_ts"].to_pandas()
+        for t in ts:
+            wstart = t.floor("10min")
+            if wstart + win <= filter_wm:
+                n_dropped += 1
+                continue
+            expected[wstart] = expected.get(wstart, 0) + 1
+        seen_max = max(seen_max, ts.max())
+        r_prev = r_cur
+    assert n_dropped > 0, "fixture must actually exercise drops"
+
+    ckpt = _scratch("ckpt_arrival")
+    schema = spark.read.parquet(d).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(d)
+           .withColumn("warc_ts", F.col("warc_ts").cast("timestamp")))
+    agg = (sdf.withWatermark("warc_ts", "10 minutes")
+           .groupBy(F.window("warc_ts", "10 minutes").alias("window"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    got: dict = {}
+
+    def fb(df, eid):  # update mode: latest emission per window wins
+        for r in df.select(F.col("window.start").alias("ws"),
+                           "n").collect():
+            got[r["ws"]] = r["n"]
+
+    # update mode — complete mode never evicts state nor drops late rows
+    q = (agg.writeStream.outputMode("update").foreachBatch(fb)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert got == {k.to_pydatetime(): v for k, v in expected.items()}
+
+
 # ---------------------------------------------------------------------------
 # stream-stream re-crawl join + streaming dedup
 # ---------------------------------------------------------------------------
