@@ -33,12 +33,13 @@ SCRATCH = os.path.join(REPO, ".scratch")
 def ensure_pages(n_docs: int) -> str:
     """Deterministic bench pages fixture (seed pinned), built once."""
     from glcmstream import fixtures
-    d = os.path.join(SCRATCH, f"bench_pages_{n_docs}")
+    d = os.path.join(SCRATCH, f"bench_pages_{n_docs}_rg256")
     marker = os.path.join(d, "part-0063.parquet")
     if not os.path.exists(marker):
         import shutil
         shutil.rmtree(d, ignore_errors=True)
-        fixtures.write_pages_parquet(d, n_docs=n_docs, n_files=64)
+        fixtures.write_pages_parquet(d, n_docs=n_docs, n_files=64,
+                                     row_group_rows=256)
     return d
 
 
@@ -56,21 +57,41 @@ def main() -> None:
     timings: dict[str, float] = {}
     n_pages = int(N_DOCS * 1.1)  # incl. 10% recrawls
 
-    # --- headline: streaming GLCM featurize + windowed agg -----------------
+    # --- headline: fused manifest-scan streaming GLCM + windowed agg -------
+    # (the 100 TB path: split metadata streams, workers read row groups;
+    # see src/glcmstream/fused.py and BENCH/BASELINE.md)
     import shutil
-    ckpt = os.path.join(SCRATCH, "bench_ckpt")
+
+    from glcmstream import fused
+    ckpt = os.path.join(SCRATCH, "bench_ckpt_fused")
     shutil.rmtree(ckpt, ignore_errors=True)
+    mdir = os.path.join(SCRATCH, f"bench_manifests_{N_DOCS}")
     t0 = time.perf_counter()
-    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=16)
-    agg = stream.windowed_feature_agg(sdf)
+    feats = fused.fused_features_stream(spark, pages_dir, mdir,
+                                        max_files_per_trigger=None,
+                                        parallelism=4 * CPUS)
+    agg = stream.windowed_agg_over_features(feats)
     q = (agg.writeStream.format("memory").queryName("bench_winagg")
          .outputMode("complete").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
     n_out = spark.table("bench_winagg").count()
     t_stream = time.perf_counter() - t0
-    timings["glcm_stream_windowed"] = round(t_stream, 3)
+    timings["glcm_stream_windowed_fused"] = round(t_stream, 3)
     assert n_out > 0
+
+    # --- classic path (html through the Arrow UDF) for comparison ----------
+    ckpt = os.path.join(SCRATCH, "bench_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.perf_counter()
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=16)
+    agg = stream.windowed_feature_agg(sdf)
+    q = (agg.writeStream.format("memory").queryName("bench_winagg_c")
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("bench_winagg_c").count() > 0
+    timings["glcm_stream_windowed"] = round(time.perf_counter() - t0, 3)
 
     # --- batch GLCM featurize + per-(lang,host) agg -------------------------
     t0 = time.perf_counter()
@@ -100,9 +121,10 @@ def main() -> None:
     for name in ["pricing_summary", "revenue_by_priority",
                  "window_rank_orders", "asof_join_click_purchase",
                  "range_join_event_pairs", "jaccard_word_pairs",
-                 "minhash_lsh_dedup", "ann_topk_cosine", "token_stats",
-                 "recrawl_interval_join", "salted_host_agg",
-                 "streaming_tumbling_events"]:
+                 "minhash_lsh_dedup", "ann_topk_cosine", "ann_lsh_pairs",
+                 "token_stats", "recrawl_interval_join", "salted_host_agg",
+                 "streaming_tumbling_events", "iceberg_scan_pages",
+                 "map_json_props", "streaming_session_pages"]:
         t0 = time.perf_counter()
         registry[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -80,7 +80,9 @@ def accumulate_glcm(key, pdfs: Iterator[pd.DataFrame],
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        counts += np.sum(np.stack(pdf["gvec"].to_numpy()), axis=0)
+        vecs = np.frombuffer(b"".join(pdf["gvec"]), dtype="<f8") \
+            .reshape(len(pdf), L2)
+        counts += vecs.sum(axis=0)
         n_docs += len(pdf)
         n_batches += 1
     state.update((counts.tolist(), int(n_docs), int(n_batches)))
@@ -100,13 +102,19 @@ def accumulate_glcm(key, pdfs: Iterator[pd.DataFrame],
 
 
 def glcm_vec_udf():
-    """Arrow UDF: html -> flattened L² GLCM count vector (map-side)."""
+    """Arrow UDF: html -> flattened L² GLCM count vector (map-side),
+    packed as little-endian float64 BYTES: Arrow converts a bytes column
+    ~10x faster than a 1024-element array<double> column (no per-element
+    boxing in the serializer), and the packed form shuffles identically."""
     from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
 
-    @pandas_udf(ArrayType(DoubleType()))
+    @pandas_udf(BinaryType())
     def _vec(html: pd.Series) -> pd.Series:
         counts = kernel.glcm_counts_htmls(html.tolist())
-        return pd.Series(list(counts.reshape(len(html), -1)))
+        n = len(html)
+        flat = counts.reshape(n, -1).astype("<f8")
+        return pd.Series([flat[i].tobytes() for i in range(n)])
     return _vec
 
 
