@@ -116,6 +116,42 @@ def jaccard_shingles_udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs with Hamming verification (round-1
+    shipped only a bucket histogram — no pairing, no distance).
+
+    Scale shape: the 64-bit signature splits into 4 disjoint 16-bit
+    bands; candidates come from a (band, bucket) equi-join over ids only.
+    By pigeonhole, any pair with Hamming distance <= 3 differs in at most
+    3 of the 4 bands, so at least one band matches exactly -> recall is
+    GUARANTEED (1.0), not probabilistic, for max_hamming <= 3. Verify =
+    JVM-side bit_count(xor) on the small candidate set.
+    """
+    sig = docs.select(F.col(id_col).alias("id"),
+                      simhash_udf(text_col).alias("sig"))
+    bands = sig.select(
+        "id", "sig",
+        F.posexplode(F.array(*[
+            F.shiftright("sig", 16 * j).bitwiseAND(F.lit(0xFFFF))
+            for j in range(4)])).alias("band", "bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.bucket") == F.col("b.bucket"),
+                       F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.sig").alias("sa"),
+                    F.col("b.sig").alias("sb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.withColumn(
+                "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       threshold: float = 0.5) -> DataFrame:

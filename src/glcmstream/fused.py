@@ -184,10 +184,15 @@ def _featurize_split_batches(it: Iterator[pa.RecordBatch]
                                          use_threads=False):
                 views = binary_views(batch.column("html"))
                 feats = kernel.featurize_htmls(views)
+                # normalize to µs FIRST: pyarrow surfaces parquet
+                # timestamps at their native resolution (Spark-written
+                # files read as timestamp[ns]); a bare int64 cast of ns
+                # would inflate event time 1000x
+                ts_us = (batch.column("warc_ts")
+                         .cast(pa.timestamp("us"))
+                         .cast(pa.int64()))
                 yield pa.RecordBatch.from_arrays(
-                    [batch.column("url"),
-                     batch.column("warc_ts").cast(pa.int64()),
-                     batch.column("lang"),
+                    [batch.column("url"), ts_us, batch.column("lang"),
                      *[pa.array(feats[n], type=pa.float64())
                        for n in _FEATS]],
                     names=["url", "warc_ts_us", "lang", *_FEATS])

@@ -725,6 +725,19 @@ def simhash_buckets(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+@register("simhash_near_pairs")  # rows-only: md5-seeded simhash not in SQL
+def simhash_near_pairs(spark, sf_dir):
+    """SimHash banded Hamming pairing (round-1 shipped only a bucket
+    histogram). 4 disjoint 16-bit bands make recall GUARANTEED (not
+    probabilistic) for hamming <= 3 by pigeonhole; completeness +
+    planted-pair recall are pinned by tests/test_dedup_recall.py.
+    On the driver corpus this finds ~12 genuine near-signature pairs at
+    sf0.01 — deterministic for fixed data."""
+    ensure_pyfiles(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d)
+
+
 @register("ann_topk_cosine", """
 SELECT e.vec_id AS vec_id,
        round(list_cosine_similarity(e.embedding::DOUBLE[],
@@ -738,6 +751,49 @@ LIMIT 10
 def ann_topk_cosine(spark, sf_dir):
     return similarity.brute_force_topk(
         _t(spark, sf_dir, "embeddings"), target_id=0, k=10)
+
+
+@register("ivf_cell_counts", """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < 16),
+s AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(list_zip(e.embedding, c.cv),
+                                 t -> CAST(t[1] AS DOUBLE) * t[2]))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                                         x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(c.cv,
+                                           x -> CAST(x AS DOUBLE) * x))))
+           AS cos
+  FROM e, c),
+r AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid) AS rn
+      FROM s)
+SELECT cid AS cell, count(*) AS n_vectors,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM r WHERE rn = 1 GROUP BY cell
+""")
+def ivf_cell_counts(spark, sf_dir):
+    """IVF coarse-quantizer assignment under the driver's hash check:
+    per-cell vector counts + id checksum (the partitioning step of the
+    IVF ANN scale path; DuckDB recomputes the same argmax-over-codebook
+    assignment)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (similarity.ivf_assign(e)
+            .groupBy(F.col("cell"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum("vec_id").alias("id_sum")))
+
+
+@register("ivf_topk_cosine")  # rows-only: probe-recall is data-dependent
+def ivf_topk_cosine(spark, sf_dir):
+    """IVF probed top-k (scan probes/n_cells of the corpus, exact
+    re-rank inside probed cells); recall vs brute_force_topk is pinned
+    by tests/test_dedup_recall.py."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"),
+                               target_id=0, k=10)
 
 
 @register("ann_lsh_pairs")  # rows-only: seeded hyperplanes not in SQL
@@ -1083,12 +1139,11 @@ def approx_distinct_parts(spark, sf_dir):  # specific by design
                  F.count(F.lit(1)).alias("n_rows")))
 
 
-def _derived_pages_stream(spark, sf_dir):
-    """Write the deterministic derived pages table to scratch parquet
-    (once per sf_dir — stable md5-keyed dir with a completion marker, so
-    repeated queries() calls and concurrent driver runs reuse it) and
-    open it as a file micro-batch stream (queries can't stream a derived
-    DataFrame directly)."""
+def _derived_pages_dir(spark, sf_dir) -> str:
+    """Materialize the deterministic derived pages table to scratch
+    parquet once per sf_dir (stable md5-keyed dir with a completion
+    marker, so repeated queries() calls and concurrent driver runs reuse
+    it)."""
     import hashlib
     import os
     out = os.path.join(os.path.dirname(os.path.dirname(
@@ -1098,8 +1153,53 @@ def _derived_pages_stream(spark, sf_dir):
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         pages = plan.pages_from_documents(spark, sf_dir)
         pages.coalesce(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _derived_pages_stream(spark, sf_dir):
+    """Open the derived pages table as a file micro-batch stream
+    (queries can't stream a derived DataFrame directly)."""
+    out = _derived_pages_dir(spark, sf_dir)
     schema = spark.read.parquet(out).schema
     return spark.readStream.schema(schema).parquet(out)
+
+
+@register("fused_windowed_counts", f"""
+WITH {plan.PAGES_SQL_CTE}
+SELECT CAST(floor(epoch(warc_ts) / 600) * 600 AS BIGINT) AS win_s,
+       lang, regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       count(*) AS n_docs
+FROM pages GROUP BY 1, 2, 3
+""")
+def fused_windowed_counts(spark, sf_dir):
+    """The headline fused manifest-scan streaming pipeline under the
+    driver's value-hash check: split manifests stream -> mapInArrow
+    worker-side read+featurize -> watermarked tumbling (lang, host)
+    window counts. Feature VALUES are checked by the kernel oracles and
+    the fused==classic equality tests; the SQL-checkable projection here
+    (exact per-window doc counts) proves the fused scan delivers every
+    row to the right window exactly once."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from . import fused, stream
+    from .session import ensure_pyfiles as _ep
+    _ep(spark)
+    pdir = _derived_pages_dir(spark, sf_dir)
+    mdir = pdir + "_manifests"
+    feats = fused.fused_features_stream(spark, pdir, mdir,
+                                        max_files_per_trigger=2,
+                                        parallelism=16)
+    agg = stream.windowed_agg_over_features(feats)
+    qname = f"fusedwin_{_uuid.uuid4().hex[:8]}"
+    ckpt = _tf.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname)
+            .select(F.unix_seconds(F.col("window.start")).alias("win_s"),
+                    "lang", "host", "n_docs"))
 
 
 @register("streaming_session_windows", """

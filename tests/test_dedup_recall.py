@@ -103,6 +103,53 @@ def test_minhash_exact_duplicates_always_collide(spark):
         # -> collides in every band: recall 1 by construction
 
 
+def _simhash64(text):
+    """Independent test-side simhash (same md5 token hashing contract)."""
+    toks = text.split()
+    votes = np.zeros(64, dtype=np.int64)
+    for w in toks:
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
+def test_simhash_pairs_complete_for_hamming_le_3(spark):
+    """4 disjoint 16-bit bands => any pair with hamming <= 3 shares at
+    least one band (pigeonhole), so the operator must return EXACTLY the
+    hamming<=3 pairs — compared against a test-side brute force over
+    independently recomputed signatures."""
+    pdf, _ = _mk_docs()
+    docs = spark.createDataFrame(pdf)
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_near_pairs(docs).collect()}
+
+    sigs = {i: _simhash64(t) for i, t in zip(pdf.doc_id, pdf.text)}
+    ids = sorted(sigs)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                truth[(a, b)] = h
+    assert got == truth  # complete recall AND exact distances
+
+
+def test_simhash_exact_duplicates_hamming_zero(spark):
+    pdf, _ = _mk_docs()
+    dup = pdf.iloc[:6].copy()
+    dup["doc_id"] = dup["doc_id"] + 20_000
+    docs = spark.createDataFrame(pd.concat([pdf, dup]))
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_near_pairs(docs).collect()}
+    for i in range(6):
+        assert got.get((i, i + 20_000)) == 0
+
+
 def _mk_embeddings(n_background=200, n_planted=10, dim=similarity.EMB_DIM):
     rng = np.random.default_rng(999)
     rows = []
@@ -153,6 +200,32 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     # P(found) = 1-(1-p)^4 ~ 0.997 -> expect >= 8 of 10 deterministically
     found = sum(1 for p in planted if p in got)
     assert found >= 8, f"planted near-dup recall too low: {found}/10"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF probed top-k must recover most of the exact top-k: the probe's
+    own cell plus 3 more cover the near neighborhood on unit-norm data.
+    Ground truth is test-side numpy brute force."""
+    pdf, _ = _mk_embeddings()
+    emb = spark.createDataFrame(pdf)
+    got = [r.vec_id for r in
+           similarity.ivf_topk(emb, target_id=0, k=10).collect()]
+
+    M = np.stack([np.asarray(v) for v in pdf.embedding])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    i0 = int(np.where(ids == 0)[0][0])
+    sims = M @ M[i0]
+    order = [int(ids[j]) for j in np.argsort(-sims) if ids[j] != 0]
+    true_top10 = set(order[:10])
+    overlap = len(true_top10 & set(got))
+    assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+    # and the returned scores must be exact (re-rank is exact cosine)
+    scored = {r.vec_id: r.cosine for r in
+              similarity.ivf_topk(emb, target_id=0, k=10).collect()}
+    id2row = {int(v): j for j, v in enumerate(ids)}
+    for vid, c in scored.items():
+        assert abs(c - sims[id2row[vid]]) < 5e-4
 
 
 def test_ann_lsh_sf001_query_returns_rows(spark):
