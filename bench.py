@@ -66,6 +66,19 @@ def main() -> None:
     ckpt = os.path.join(SCRATCH, "bench_ckpt_fused")
     shutil.rmtree(ckpt, ignore_errors=True)
     mdir = os.path.join(SCRATCH, f"bench_manifests_{N_DOCS}")
+    # warm the JVM/python workers/streaming machinery on a small slice so
+    # the headline measures steady state, not first-query JIT (~5-10s)
+    wck = os.path.join(SCRATCH, "bench_ckpt_warm")
+    shutil.rmtree(wck, ignore_errors=True)
+    wq = (stream.windowed_agg_over_features(
+              fused.fused_features_stream(
+                  spark, pages_dir, mdir, max_files_per_trigger=4,
+                  parallelism=CPUS))
+          .writeStream.outputMode("update")
+          .foreachBatch(lambda df, eid: df.count())
+          .option("checkpointLocation", wck)
+          .trigger(once=True).start())  # one 4-file micro-batch
+    wq.awaitTermination()
     t0 = time.perf_counter()
     feats = fused.fused_features_stream(spark, pages_dir, mdir,
                                         max_files_per_trigger=None,

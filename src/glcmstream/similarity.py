@@ -127,7 +127,14 @@ def hyperplane_bands_udf(emb: pd.Series) -> pd.Series:
 def lsh_near_neighbors(emb: DataFrame, min_cosine: float = 0.9) -> DataFrame:
     """Near-neighbor embedding pairs via banded hyperplane LSH: explode
     to (band, bucket) metadata rows (ids only — vectors join back for
-    the small candidate set), equi-join per band, exact cosine re-rank."""
+    the small candidate set), equi-join per band, exact cosine re-rank.
+
+    Scale note: ANN_BAND_BITS must grow with log2(corpus) to keep bucket
+    occupancy (and the per-band candidate join) bounded — with b bits a
+    band has 2^b buckets and candidates ~ bands * n^2 / 2^b. The 4-bit
+    default suits the <=5k-vector driver fixtures; at 10^9 vectors use
+    ~24-28 bits per band (buckets stay ~thousands of vectors) plus more
+    bands to hold recall, which keeps the join linear in n."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>")
                    .alias("v"),
                    hyperplane_bands_udf("embedding").alias("sigs"))
