@@ -900,6 +900,81 @@ def rendertile_profile(spark, sf_dir):
                  .alias("avg_contrast_p95")))
 
 
+@register("udtf_token_explode", """
+WITH w AS (
+  SELECT lang, unnest(regexp_split_to_array(text, ' ')) AS word
+  FROM documents WHERE doc_id < 50)
+SELECT lang, count(*) AS n_tokens,
+       count(DISTINCT word) AS n_distinct,
+       CAST(sum(len(word)) AS BIGINT) AS chars
+FROM w WHERE word <> '' GROUP BY lang
+""")
+def udtf_token_explode(spark, sf_dir):
+    """Python UDTF surface (SURVEY §2.B UDF/UDAF/UDTF row): an
+    arrow-optimized table function exploding documents into token rows,
+    consumed via SQL LATERAL — the one UDF shape round 1 never
+    exercised."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string", useArrow=True)
+    class SplitTokens:
+        def eval(self, text: str):
+            for w in (text or "").split(" "):
+                if w:
+                    yield (w,)
+
+    _ensure_session_confs(spark)
+    spark.udtf.register("split_tokens", SplitTokens)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql("""
+        SELECT lang, count(*) AS n_tokens,
+               count(DISTINCT t.word) AS n_distinct,
+               sum(length(t.word)) AS chars
+        FROM udtf_docs, LATERAL split_tokens(text) t
+        GROUP BY lang""")
+
+
+@register("cogrouped_user_funnel", """
+WITH c AS (SELECT user_id, count(*) AS n_clicks, min(ts) AS first_click
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, count(*) AS n_purchases, min(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       CAST(epoch_us(first_purchase) - epoch_us(first_click) AS BIGINT)
+         AS funnel_us
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+""")
+def cogrouped_user_funnel(spark, sf_dir):
+    """Cogrouped applyInPandas (the two-sided grouped-map pandas surface,
+    unused in round 1): clicks and purchases cogrouped per user; the
+    pandas function computes the funnel latency first-click ->
+    first-purchase."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts")
+
+    def funnel(key, c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        fc = c["ts"].min() if len(c) else pd.NaT
+        fp = p["ts"].min() if len(p) else pd.NaT
+        gap = (None if pd.isna(fc) or pd.isna(fp)
+               else int((fp - fc).value // 1000))
+        return pd.DataFrame([{
+            "user_id": key[0], "n_clicks": len(c), "n_purchases": len(p),
+            "funnel_us": gap}])
+
+    out_schema = ("user_id long, n_clicks long, n_purchases long, "
+                  "funnel_us long")
+    return (clicks.groupBy("user_id").cogroup(buys.groupBy("user_id"))
+            .applyInPandas(funnel, out_schema))
+
+
 @register("iceberg_scan_pages", f"""
 WITH {plan.PAGES_SQL_CTE}
 SELECT strftime(warc_ts, '%Y-%m-%d') AS warc_day,
