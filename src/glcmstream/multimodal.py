@@ -72,6 +72,35 @@ def frame_sample_stub(binary_df: DataFrame, every_n: int = 8) -> DataFrame:
     return binary_df.mapInPandas(fn, "doc_id bigint, frame_idx int")
 
 
+def resize_stub(binary_df: DataFrame, target: int = 256) -> DataFrame:
+    """Resize/downsample plumbing: strided byte sampling to a fixed-size
+    "thumbnail" (every k-th payload byte, k = ceil(n/target)).
+
+    The sampling IS the real resize memory/batch shape (bounded output
+    per row regardless of payload size — what an image downscale does);
+    only pixel decode is faked since the container has no codecs. Output
+    carries the sampled length and the byte-sum checksum so a SQL oracle
+    can verify the exact strided selection.
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = {"doc_id": [], "k": [], "n_sampled": [],
+                    "sample_sum": []}
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p)
+                k = max(1, -(-n // target))
+                sampled = np.frombuffer(p, dtype=np.uint8)[::k]
+                rows["doc_id"].append(did)
+                rows["k"].append(k)
+                rows["n_sampled"].append(len(sampled))
+                rows["sample_sum"].append(int(sampled.sum()))
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(
+        fn, "doc_id bigint, k int, n_sampled int, sample_sum bigint")
+
+
 def documents_as_binary(spark, sf_dir: str) -> DataFrame:
     """Treat document text bytes as the opaque payload column."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -831,6 +831,35 @@ def multimodal_metadata(spark, sf_dir):
                  F.sum("height").cast("bigint").alias("sum_height")))
 
 
+@register("multimodal_resize", """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 40),
+s AS (
+  SELECT doc_id,
+         CAST(greatest(1, CAST(ceil(n / 256.0) AS BIGINT)) AS INT) AS k,
+         n, text
+  FROM d),
+sampled AS (
+  SELECT doc_id, k,
+         unnest(generate_series(1, n, k)) AS pos, text
+  FROM s)
+SELECT doc_id, k,
+       CAST(count(*) AS INT) AS n_sampled,
+       CAST(sum(ord(substr(text, CAST(pos AS INT), 1))) AS BIGINT)
+         AS sample_sum
+FROM sampled GROUP BY doc_id, k
+""")
+def multimodal_resize(spark, sf_dir):
+    """Resize/downsample plumbing (mapInPandas strided byte sampling to a
+    fixed-size thumbnail) — the exact strided selection verified byte-sum
+    -for-byte-sum by the SQL twin (ascii text payloads: byte == char)."""
+    ensure_pyfiles(spark)
+    bin_df = (multimodal.documents_as_binary(spark, sf_dir)
+              .filter(F.col("doc_id") < 40))
+    return multimodal.resize_stub(bin_df, target=256)
+
+
 @register("multimodal_frame_sample", """
 SELECT CAST(sum(n_frames_sampled) AS BIGINT) AS total_frames,
        count(*) AS n_docs
