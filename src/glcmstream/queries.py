@@ -1380,6 +1380,47 @@ def streaming_session_pages(spark, sf_dir):
                  F.sum("n").alias("n_pages")))
 
 
+@register("cep_click_purchase", """
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+p AS (SELECT user_id, ts AS pts FROM e WHERE event_type = 'purchase'),
+lc AS (
+  SELECT p.user_id, p.pts, max(c.ts) AS cts
+  FROM p JOIN e c ON c.user_id = p.user_id AND c.event_type = 'click'
+    AND c.ts <= p.pts
+    AND epoch_us(p.pts) - epoch_us(c.ts) <= 1800000000
+  GROUP BY 1, 2)
+SELECT l.user_id,
+       CAST(epoch_us(l.cts) AS BIGINT) AS click_us,
+       CAST(epoch_us(l.pts) AS BIGINT) AS purchase_us
+FROM lc l WHERE NOT EXISTS (
+  SELECT 1 FROM e x
+  WHERE x.user_id = l.user_id AND x.event_type = 'error'
+    AND x.ts > l.cts AND x.ts < l.pts)
+""")
+def cep_click_purchase(spark, sf_dir):
+    """Streaming CEP pattern matcher (applyInPandasWithState): per-user
+    `click -> purchase within 30 min with no intervening error`. The
+    DuckDB twin is the declarative pattern (latest qualifying click per
+    purchase + NOT EXISTS error between); availableNow over the
+    time-sorted events table makes stateful and declarative semantics
+    exactly comparable."""
+    from . import cep
+    from .session import ensure_pyfiles as _ep
+    _ep(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    matched = cep.cep_click_purchase(sdf)
+    qname = f"cepq_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (matched.writeStream.format("memory").queryName(qname)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname).select("user_id", "click_us", "purchase_us")
+
+
 @register("streaming_dedup_urls", f"""
 WITH {plan.PAGES_SQL_CTE}
 SELECT DISTINCT url FROM pages

@@ -309,6 +309,52 @@ def test_out_of_order_fixture_late_drops(spark):
     assert got == {k.to_pydatetime(): v for k, v in expected.items()}
 
 
+def test_cep_pattern_across_micro_batches(spark):
+    """CEP click->purchase(30min, no error) with state carried ACROSS
+    micro-batches: click in epoch 1, purchase in epoch 2 must match;
+    error between kills the pattern; stale click (>30min) must not."""
+    from glcmstream import cep
+    src = _scratch("cep_src")
+    ckpt = _scratch("cep_ckpt")
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+
+    def ev(uid, minute, typ):
+        return (uid, t0 + pd.Timedelta(minutes=minute), typ)
+
+    def write(name, rows):
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string())})
+        pq.write_table(tbl, os.path.join(src, name))
+
+    # epoch 1: u1 clicks; u2 clicks then errors; u3 clicks (stale later)
+    write("f1.parquet", [ev(1, 0, "click"), ev(2, 0, "click"),
+                         ev(2, 5, "error"), ev(3, 0, "click")])
+    # epoch 2: u1 purchase at +10 (MATCH); u2 purchase at +10 (blocked by
+    # error); u3 purchase at +45 (stale click, no match); u4 purchase
+    # with no click ever
+    write("f2.parquet", [ev(1, 10, "purchase"), ev(2, 10, "purchase"),
+                         ev(3, 45, "purchase"), ev(4, 12, "purchase")])
+
+    schema = spark.read.parquet(src).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    got = []
+
+    def fb(df, eid):
+        got.extend((r.user_id, r.click_us, r.purchase_us)
+                   for r in df.collect())
+
+    q = (cep.cep_click_purchase(sdf).writeStream.outputMode("update")
+         .foreachBatch(fb).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    us = lambda m: int((t0 + pd.Timedelta(minutes=m)).value // 1000)
+    assert got == [(1, us(0), us(10))]
+
+
 # ---------------------------------------------------------------------------
 # stream-stream re-crawl join + streaming dedup
 # ---------------------------------------------------------------------------
