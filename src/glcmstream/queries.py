@@ -1043,6 +1043,51 @@ def iceberg_scan_pages(spark, sf_dir):
                  F.sum("doc_id").alias("id_sum")))
 
 
+@register("iceberg_stream_scan", f"""
+WITH {plan.PAGES_SQL_CTE}
+SELECT lang, count(*) AS n_pages,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(epoch_us(warc_ts)) AS BIGINT) AS ts_sum
+FROM pages GROUP BY lang
+""")
+def iceberg_stream_scan(spark, sf_dir):
+    """Incremental streaming read of an IcebergLite table (the Iceberg
+    streaming-source semantics): the stream is driven by the manifest
+    log — one committed epoch per micro-batch, worker-side parquet read
+    (fused-scan shape). Both epochs of the committed pages table stream
+    through a per-lang aggregate; the twin aggregates the same logical
+    content."""
+    import hashlib
+    import os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from .sink import IcebergLiteTable
+    from .session import ensure_pyfiles as _ep
+    _ensure_session_confs(spark)
+    _ep(spark)
+    tdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch",
+        "qicestream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    table = IcebergLiteTable(tdir)
+    if not table.is_committed(1):
+        pages = plan.pages_from_documents(spark, sf_dir).drop("html")
+        table.commit(pages.filter(F.col("doc_id") % 2 == 0), 0)
+        table.commit(pages.filter(F.col("doc_id") % 2 == 1), 1)
+    sdf = table.read_stream(spark)
+    agg = (sdf.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_pages"),
+                F.sum("doc_id").alias("id_sum"),
+                F.sum(F.unix_micros("warc_ts")).alias("ts_sum")))
+    qname = f"icestream_{_uuid.uuid4().hex[:8]}"
+    ckpt = _tf.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 @register("salted_host_agg", f"""
 WITH {plan.PAGES_SQL_CTE}
 SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,

@@ -90,9 +90,14 @@ class IcebergLiteTable:
                         # order-insensitive, overflow-free content hash
                         F.expr("bit_xor(_h)").alias("content_hash"))
                    .collect())
+        # absolute data-file paths in the manifest (Iceberg manifests list
+        # their data files): the incremental streaming read consumes these
+        files = sorted({r["_file"].replace("file://", "", 1)
+                        for r in lineage})
         manifest = {
             "epoch_id": int(epoch_id),
             "schema": batch_df.schema.jsonValue(),
+            "files": files,
             "partitions": [{"partition_id": _part_id(r["_file"]),
                             "row_count": int(r["rows"]),
                             "input_hash": format(r["content_hash"]
@@ -142,6 +147,52 @@ class IcebergLiteTable:
                              f" (as_of_epoch={as_of_epoch})")
         paths = [os.path.join(self.data_dir, f"epoch={e}") for e in epochs]
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        """Incremental (CDC-style) streaming read — the Iceberg streaming
+        source semantics: the stream is driven by the MANIFEST log, so a
+        consumer sees exactly the committed epochs, in commit order, and
+        epochs committed while the stream runs are picked up in later
+        micro-batches. Torn/partial epoch data (files without a manifest)
+        is invisible by construction; exactly-once consumption rides the
+        file source's WAL over the manifest files.
+
+        Worker-side parquet read via mapInArrow (same fused-scan shape as
+        fused.py — only manifest metadata passes through the JVM)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        epochs = self.committed_epochs()
+        if not epochs:
+            raise ValueError(f"no committed epochs in {self.table_dir}")
+        # target schema from the first manifest (all epochs share it)
+        from pyspark.sql.types import StructType as _ST
+        schema = _ST.fromJson(self.manifests()[0]["schema"])
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in schema.fields)
+        names = [f.name for f in schema.fields]
+        ts_cols = [f.name for f in schema.fields
+                   if f.dataType.simpleString().startswith("timestamp")]
+
+        def read_rows(it):
+            for mb in it:
+                for path in mb.column("path").to_pylist():
+                    pf = pq2.ParquetFile(path)
+                    for batch in pf.iter_batches(use_threads=False):
+                        cols = []
+                        for n in names:
+                            c = batch.column(n)
+                            if n in ts_cols:
+                                c = c.cast(pa.timestamp("us"))
+                            cols.append(c)
+                        yield pa.RecordBatch.from_arrays(cols, names=names)
+
+        mdf = (spark.readStream
+               .schema("epoch_id long, files array<string>")
+               .option("maxFilesPerTrigger", "1")
+               .json(self.manifest_dir))
+        paths = mdf.select(F.explode("files").alias("path"))
+        return paths.mapInArrow(read_rows, ddl)
 
     def destroy(self) -> None:
         shutil.rmtree(self.table_dir, ignore_errors=True)

@@ -68,6 +68,45 @@ def test_days_partition_layout_and_pruning(spark, table):
     assert df.count() == 10
 
 
+def test_incremental_stream_read_picks_up_new_commits(spark, table):
+    """Iceberg streaming-source semantics: a running manifest-log stream
+    consumes committed epochs in order and sees epochs committed AFTER
+    the stream started; uncommitted (torn) data stays invisible."""
+    import time
+
+    table.commit(_pages(spark, range(0, 10), 1), 0)
+    ckpt = os.path.join(SCRATCH, "ice_stream_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    seen: list[set] = []
+
+    def fb(df, eid):
+        ids = {r.doc_id for r in df.collect()}
+        if ids:
+            seen.append(ids)
+
+    q = (table.read_stream(spark).writeStream.outputMode("append")
+         .foreachBatch(fb).option("checkpointLocation", ckpt).start())
+    try:
+        deadline = time.time() + 60
+        while not seen and time.time() < deadline:
+            time.sleep(0.3)
+        assert seen and seen[0] == set(range(10))
+
+        # torn write: data without a manifest must stay invisible
+        torn = os.path.join(table.data_dir, "epoch=99")
+        _pages(spark, range(90, 95), 3).write.parquet(torn)
+        # a real commit lands while the stream is running
+        table.commit(_pages(spark, range(10, 20), 2), 1)
+        while len(seen) < 2 and time.time() < deadline:
+            time.sleep(0.3)
+        assert len(seen) >= 2 and seen[1] == set(range(10, 20))
+        all_seen = set().union(*seen)
+        assert not (all_seen & set(range(90, 95)))  # torn data invisible
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
 def test_lineage_certifies_written_rows(spark, table):
     table.commit(_pages(spark, range(0, 7), 1), 0)
     m = table.manifests()[0]
