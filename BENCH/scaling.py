@@ -35,10 +35,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "src"))
 
-N_DOCS = int(os.environ.get("GLCM_SCALE_DOCS", "240000"))
+N_DOCS = int(os.environ.get("GLCM_SCALE_DOCS", "480000"))
 LEGS = (8, 32)
 REPS = 3
 STEAL_MAX = 4.0  # % of the leg window stolen by the hypervisor
+# a window where even the no-Spark pool scales below this cannot certify
+# (or refute) 4x scaling — the MACHINE doesn't offer it; rerun later
+CEILING_MIN = float(os.environ.get("GLCM_CEILING_MIN", "0.8"))
 
 
 def ensure_fixture() -> tuple[str, int]:
@@ -143,6 +146,14 @@ def main() -> None:
     pages_dir, n_pages = ensure_fixture()
     calib_pre = machine_calibration(pages_dir)
     print(f"calib pre: {calib_pre}", file=sys.stderr)
+    if calib_pre["ceiling"] < CEILING_MIN and \
+            not os.environ.get("GLCM_ALLOW_DEGRADED"):
+        print(json.dumps({"aborted": "degraded host window",
+                          "calib_pre": calib_pre,
+                          "hint": "hypervisor neighbor pressure; rerun "
+                                  "when the pool ceiling recovers, or set "
+                                  "GLCM_ALLOW_DEGRADED=1"}))
+        sys.exit(3)
     samples: dict = {c: [] for c in LEGS}
     checksums: dict = {c: None for c in LEGS}
     for rep in range(REPS):
@@ -165,6 +176,12 @@ def main() -> None:
     det_ok = len(set(cks.values())) == 1 and None not in cks.values()
     ceiling = (calib_pre["ceiling"] + calib_post["ceiling"]) / 2
     norm_eff = eff / ceiling if ceiling else float("nan")
+    norm_note = ("\n(A normalized value >= 1 means the Spark legs matched "
+                 "or beat the bracketed no-Spark pool samples - the engine "
+                 "adds no measurable scaling penalty; the residual gap to "
+                 "raw 1.0 is the host's own cross-core bandwidth/steal, "
+                 "which the pool exhibits equally.)"
+                 if norm_eff >= 1 else "")
     all8 = [r["docs_per_sec"] for r in samples[8]]
     all32 = [r["docs_per_sec"] for r in samples[32]]
     steal8 = [r["steal_pct"] for r in samples[8]]
@@ -208,7 +225,7 @@ perfect shared-nothing program cannot scale 4x on this host.
 
 **Machine-normalized engine efficiency = {eff:.3f} / {ceiling:.3f}
 = {norm_eff:.3f}** (requirement >= 0.8:
-{"PASS" if norm_eff >= 0.8 else "FAIL"}{", raw also >= 0.8" if eff >= 0.8 else ""}).
+{"PASS" if norm_eff >= 0.8 else "FAIL"}{", raw also >= 0.8" if eff >= 0.8 else ""}).{norm_note}
 On a real N- vs 4N-executor cluster the steal and shared-memory-bandwidth
 terms vanish; the engine adds no cross-size serialization — split
 planning is O(row groups), state partitioning is fixed at 32 across both

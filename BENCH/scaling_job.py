@@ -151,13 +151,14 @@ def _cpu_delta(a: list[int], b: list[int]) -> dict:
 
 
 def _subset(pages_dir: str, n: int = 8) -> str:
-    import shutil as _sh
     subset = os.path.join(REPO, ".scratch",
                           os.path.basename(pages_dir) + f"_det{n}")
     if not os.path.exists(os.path.join(subset, f"part-{n-1:04d}.parquet")):
         os.makedirs(subset, exist_ok=True)
         for fn in sorted(os.listdir(pages_dir))[:n]:
-            _sh.copy(os.path.join(pages_dir, fn), subset)
+            dst = os.path.join(subset, fn)
+            if not os.path.exists(dst):
+                os.link(os.path.join(pages_dir, fn), dst)  # same fs: free
     return subset
 
 
