@@ -3,26 +3,45 @@ CEP engine"): detect `click -> purchase within `window`, with no
 intervening error` per user, as an applyInPandasWithState stateful
 pattern matcher.
 
-State per user = (last_click_us, last_error_us): a purchase matches iff
-a click happened within the window and no error arrived after that
-click. Rows are processed in event-time order within each micro-batch;
-cross-batch order is the source's replay order (the correctness query
-drives a single-batch replay of the driver's time-sorted events table,
-where the semantics are exact — the same contract as the reference's
-ordered tile scan).
+Correct under OUT-OF-ORDER arrival (round-2 verdict #3): events are
+buffered in per-user state until the event-time watermark passes them,
+then matched in event-time order — so a click arriving one micro-batch
+after its purchase (legal within the watermark delay) still matches.
+The watermark delay is therefore the operator's out-of-order tolerance;
+events later than that are dropped by Spark's late-row filter, the same
+policy as every other stateful operator in the engine.
+
+State is bounded (round-2 verdict #2): every invocation arms an
+event-time timeout at the point where the buffered suffix and any
+still-matchable click fall behind the watermark; the timeout flushes the
+remaining buffer (emitting tail matches) and REMOVES the state, so
+per-user state does not grow with key cardinality on a long-running
+stream. A user with no buffered events and no click alive within the
+pattern window is dropped immediately.
+
+Tie semantics mirror the declarative SQL twin exactly (round-2 advice):
+same-microsecond ordering is click < purchase < error, so a click at
+the purchase's timestamp qualifies (SQL: c.ts <= p.ts, closed) while an
+error at the click's or purchase's timestamp does not block (SQL:
+strictly between, open interval). With that ordering the match test
+reduces to `last_error <= last_click`.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (LongType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StructField,
+                               StructType)
 
 STATE_SCHEMA = StructType([
+    StructField("buf_ts", ArrayType(LongType())),
+    StructField("buf_code", ArrayType(IntegerType())),
     StructField("last_click_us", LongType()),
     StructField("last_error_us", LongType()),
 ])
@@ -35,43 +54,111 @@ OUTPUT_SCHEMA = StructType([
 
 WINDOW_US = 30 * 60 * 1_000_000
 
+# same-timestamp processing order encodes the SQL twin's boundary
+# semantics (see module docstring)
+_CODE = {"click": 0, "purchase": 1, "error": 2}
+
+
+def _match_run(ts: list[int], code: list[int], uid: int, last_click: int,
+               last_error: int, out: list) -> tuple[int, int]:
+    """Run the pattern machine over finalized events (already sorted by
+    (ts, code)); returns the updated (last_click, last_error)."""
+    for t, c in zip(ts, code):
+        if c == 0:
+            last_click = t
+        elif c == 2:
+            last_error = t
+        elif c == 1:  # purchase; other event types don't participate
+            if (last_click >= 0 and t - last_click <= WINDOW_US
+                    and last_error <= last_click):
+                out.append((uid, last_click, t))
+    return last_click, last_error
+
 
 def match_pattern(key, pdfs: Iterator[pd.DataFrame],
                   state: GroupState) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        state.remove()
-        return
-    if state.exists:
-        last_click, last_error = state.get
-    else:
-        last_click, last_error = -1, -1
-    out: list[tuple[int, int, int]] = []
     uid = key[0]
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values("ts_us", kind="mergesort")
-        for ts, et in zip(pdf["ts_us"], pdf["event_type"]):
-            ts = int(ts)
-            if et == "click":
-                last_click = ts
-            elif et == "error":
-                last_error = ts
-            elif et == "purchase":
-                if (last_click >= 0 and ts - last_click <= WINDOW_US
-                        and last_error < last_click):
-                    out.append((uid, last_click, ts))
-    state.update((int(last_click), int(last_error)))
+    if state.exists:
+        buf_ts, buf_code, last_click, last_error = state.get
+        buf_ts, buf_code = list(buf_ts), list(buf_code)
+    else:
+        buf_ts, buf_code, last_click, last_error = [], [], -1, -1
+
+    out: list[tuple[int, int, int]] = []
+    try:
+        wm_ms = state.getCurrentWatermarkMs()
+    except Exception:
+        wm_ms = 0
+    wm_us = wm_ms * 1000
+
+    if state.hasTimedOut:
+        # flush timeout fired: the watermark has passed the buffered
+        # suffix (to within the ms truncation of Spark's watermark —
+        # events closer than 1 ms to the tail may finalize marginally
+        # early; ordering is guaranteed for events separated by more
+        # than the watermark delay + 1 ms). Match it all in event-time
+        # order, then keep only a still-matchable click.
+        order = np.lexsort((buf_code, buf_ts))
+        last_click, last_error = _match_run(
+            [buf_ts[i] for i in order], [buf_code[i] for i in order],
+            uid, last_click, last_error, out)
+        keep_ts, keep_code = [], []
+    else:
+        for pdf in pdfs:
+            if len(pdf):
+                buf_ts.extend(int(t) for t in pdf["ts_us"])
+                buf_code.extend(_CODE.get(e, 3) for e in pdf["event_type"])
+        # finalize the <= watermark prefix in event-time order; buffer
+        # the rest for a later batch or the flush timeout
+        order = np.lexsort((buf_code, buf_ts))
+        fin_ts, fin_code, keep_ts, keep_code = [], [], [], []
+        for i in order:
+            if buf_ts[i] <= wm_us:
+                fin_ts.append(buf_ts[i])
+                fin_code.append(buf_code[i])
+            else:
+                keep_ts.append(buf_ts[i])
+                keep_code.append(buf_code[i])
+        last_click, last_error = _match_run(fin_ts, fin_code, uid,
+                                            last_click, last_error, out)
+
+    # retention: buffered events await their flush timeout
+    # (floor-to-ms so the event carrying the max event time still fires);
+    # an empty buffer is kept only while the last click could still match
+    # a future purchase, armed to self-evict when its window expires.
+    click_alive = last_click >= 0 and last_click + WINDOW_US > wm_us
+    if keep_ts:
+        state.update((keep_ts, keep_code, int(last_click), int(last_error)))
+        try:
+            state.setTimeoutTimestamp(max(max(keep_ts) // 1000, wm_ms + 1))
+        except Exception:
+            pass  # NoTimeout config (batch-style tests)
+    elif click_alive:
+        state.update(([], [], int(last_click), int(last_error)))
+        try:
+            state.setTimeoutTimestamp(
+                max((last_click + WINDOW_US) // 1000 + 1, wm_ms + 1))
+        except Exception:
+            pass
+    else:
+        state.remove()
     if out:
         yield pd.DataFrame(out, columns=["user_id", "click_us",
                                          "purchase_us"])
 
 
 def cep_click_purchase(events: DataFrame,
-                       watermark: str = "1 hour") -> DataFrame:
-    """events stream (user_id, ts, event_type) -> matched pattern rows."""
+                       watermark: str = "30 minutes") -> DataFrame:
+    """events stream (user_id, ts, event_type) -> matched pattern rows.
+
+    `watermark` is the out-of-order tolerance: matches are emitted once
+    the event-time watermark passes the purchase (buffered semantics),
+    and events arriving later than the delay are dropped."""
     keyed = (events
              .withWatermark("ts", watermark)
+             # non-pattern event types never enter the buffer: state cost
+             # scales with pattern-relevant traffic only
+             .filter(F.col("event_type").isin("click", "purchase", "error"))
              .withColumn("ts_us", F.unix_micros("ts"))
              .select("user_id", "ts_us", "event_type", "ts"))
     return (keyed.groupBy("user_id")

@@ -128,9 +128,23 @@ def write_pages_parquet(out_dir: str, n_docs: int, seed: int = 42,
         pa.field("lang", pa.string()),
     ])
     chunks = np.array_split(np.arange(len(df)), n_files)
+    base_mtime = float(int(__import__("time").time()))
     for i, ix in enumerate(chunks):
         tbl = pa.Table.from_pandas(df.iloc[ix], schema=schema,
                                    preserve_index=False)
-        pq.write_table(tbl, os.path.join(out_dir, f"part-{i:04d}.parquet"),
+        path = os.path.join(out_dir, f"part-{i:04d}.parquet")
+        pq.write_table(tbl, path,
                        row_group_size=row_group_rows or len(ix) or 1)
+        # Strictly-increasing whole-second mtimes pin the REPLAY ORDER:
+        # Spark's file source orders new files by modification time with
+        # NO tiebreak, and files written back-to-back tie at ms
+        # granularity — under maxFilesPerTrigger a tie permutation that
+        # replays a late file before an early one advances the watermark
+        # past the early file's windows and (correctly) drops its rows
+        # as late. Root cause of the round-2 test_checkpoint_resume
+        # full-suite flake (resumed totals 55 rows short = exactly the
+        # one file replayed last). Tests must copy with shutil.copy2 to
+        # preserve these stamps. (The fused manifest path is immune:
+        # manifests are consumed in path order.)
+        os.utime(path, (base_mtime + i, base_mtime + i))
     return out_dir

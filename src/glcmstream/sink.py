@@ -94,18 +94,31 @@ class IcebergLiteTable:
         # their data files): the incremental streaming read consumes these
         files = sorted({r["_file"].replace("file://", "", 1)
                         for r in lineage})
+        # lineage is keyed by the data FILE (unique within the commit);
+        # the write-partition id is only meaningful for flat commits —
+        # with a partition_days_col each task emits one part file per
+        # warc_day dir, so part numbers repeat across dirs
         manifest = {
             "epoch_id": int(epoch_id),
             "schema": batch_df.schema.jsonValue(),
             "files": files,
-            "partitions": [{"partition_id": _part_id(r["_file"]),
+            "partitions": [{"file": os.path.relpath(
+                                r["_file"].replace("file://", "", 1),
+                                self.table_dir),
+                            "partition_id": (i if partition_days_col
+                                             else _part_id(r["_file"])),
                             "row_count": int(r["rows"]),
                             "input_hash": format(r["content_hash"]
                                                  & 0xFFFFFFFFFFFFFFFF, "016x")}
-                           for r in sorted(lineage, key=lambda r: r["_file"])],
+                           for i, r in enumerate(
+                               sorted(lineage, key=lambda r: r["_file"]))],
             "row_count": int(sum(r["rows"] for r in lineage)),
         }
-        tmp = self._manifest_path(epoch_id) + f".tmp-{uuid.uuid4().hex}"
+        # hidden tmp name: paths starting with '.' are invisible to Spark
+        # file sources, so a live read_stream() over the manifest log can
+        # never list a half-written manifest (round-2 advice)
+        tmp = os.path.join(self.manifest_dir,
+                           f".epoch-{epoch_id}.json.tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(epoch_id))  # atomic commit point

@@ -95,6 +95,11 @@ def test_incremental_stream_read_picks_up_new_commits(spark, table):
         # torn write: data without a manifest must stay invisible
         torn = os.path.join(table.data_dir, "epoch=99")
         _pages(spark, range(90, 95), 3).write.parquet(torn)
+        # an in-progress manifest tmp (hidden name) must also be
+        # invisible to the manifest-log stream, even with corrupt content
+        with open(os.path.join(table.manifest_dir,
+                               ".epoch-77.json.tmp-abc"), "w") as f:
+            f.write("{ not json")
         # a real commit lands while the stream is running
         table.commit(_pages(spark, range(10, 20), 2), 1)
         while len(seen) < 2 and time.time() < deadline:
@@ -114,3 +119,18 @@ def test_lineage_certifies_written_rows(spark, table):
     assert sum(p["row_count"] for p in m["partitions"]) == 7
     for p in m["partitions"]:
         assert len(p["input_hash"]) == 16
+
+
+def test_lineage_keys_unique_for_partitioned_commit(spark, table):
+    """With a days() partition layout each task writes one part file per
+    warc_day dir, so part numbers repeat — the lineage key is the FILE
+    (round-2 advice); partition_id is de-duplicated to a per-file index."""
+    df = _pages(spark, range(0, 10), 1).unionByName(
+        _pages(spark, range(10, 20), 2))
+    table.commit(df, 0, partition_days_col="warc_ts")
+    m = table.manifests()[0]
+    files = [p["file"] for p in m["partitions"]]
+    pids = [p["partition_id"] for p in m["partitions"]]
+    assert len(set(files)) == len(files) > 1
+    assert len(set(pids)) == len(pids)
+    assert sum(p["row_count"] for p in m["partitions"]) == 20
