@@ -7,8 +7,20 @@ the streaming reinterpretation of the reference's tile-accumulation
 (BASELINE.json:6 "applyInPandasWithState for incremental co-occurrence
 accumulation").
 
-State schema is kept primitive (array<double> + two longs) for checkpoint
-schema stability across restarts (SURVEY.md §7 watch list).
+State schema is kept primitive (packed binary counts + two longs) for
+checkpoint schema stability across restarts (SURVEY.md §7 watch list).
+
+Cost model (measured at 55k docs / 13.4k (lang,host,window) keys x 2
+epochs, local[32]): the python state function itself is ~1.4s of wall
+(balanced across workers; per-key input conversion + vector sum +
+feature emission), the identical pipeline with a BUILT-IN streaming agg
+in place of the pandas state op runs 7.5s, and the full stateful run is
+~11s — the ~4s delta is applyInPandasWithState's per-group Arrow/state
+protocol, proportional to GROUP COUNT, not data volume, hence
+scale-safe. Spark 4's transformWithStateInPandas (arrow-batched state
+records) was evaluated as a faster protocol but is unusable in this
+environment: its state protocol requires google.protobuf, which the
+container does not ship.
 """
 
 from __future__ import annotations
@@ -20,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
                                StructField, StructType, TimestampType)
 
 from . import config, kernel
@@ -28,7 +40,12 @@ from . import config, kernel
 L2 = config.GRAY_LEVELS * config.GRAY_LEVELS
 
 STATE_SCHEMA = StructType([
-    StructField("counts", ArrayType(DoubleType())),
+    # packed little-endian int64 counts: a BinaryType state value crosses
+    # the per-key state protocol as one buffer, where array<double>
+    # boxes 1024 elements per key per batch (round-2 verdict #4); counts
+    # are integers, so int64 accumulation is exact and converts to
+    # float64 losslessly (< 2^53) for the feature math
+    StructField("counts", BinaryType()),
     StructField("n_docs", LongType()),
     StructField("n_batches", LongType()),
 ])
@@ -71,21 +88,22 @@ def accumulate_glcm(key, pdfs: Iterator[pd.DataFrame],
         state.remove()
         return
     if state.exists:
-        counts_list, n_docs, n_batches = state.get
-        counts = np.asarray(counts_list, dtype=np.float64)
+        counts_buf, n_docs, n_batches = state.get
+        counts = np.frombuffer(counts_buf, dtype="<i8").copy()
     else:
-        counts = np.zeros(L2)
+        counts = np.zeros(L2, dtype=np.int64)
         n_docs = 0
         n_batches = 0
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        vecs = np.frombuffer(b"".join(pdf["gvec"]), dtype="<f8") \
+        vecs = np.frombuffer(b"".join(pdf["gvec"]), dtype="<u4") \
             .reshape(len(pdf), L2)
-        counts += vecs.sum(axis=0)
+        counts += vecs.sum(axis=0, dtype=np.int64)
         n_docs += len(pdf)
         n_batches += 1
-    state.update((counts.tolist(), int(n_docs), int(n_batches)))
+    state.update((counts.astype("<i8").tobytes(),
+                  int(n_docs), int(n_batches)))
     # evict 1h after the window start, but never at/behind the current
     # watermark (setTimeoutTimestamp rejects timestamps <= watermark)
     try:
@@ -95,7 +113,7 @@ def accumulate_glcm(key, pdfs: Iterator[pd.DataFrame],
         state.setTimeoutTimestamp(max(target, wm + 3_600_000))
     except Exception:
         pass  # NoTimeout config (batch-style tests)
-    feats = _features_of_counts(counts)
+    feats = _features_of_counts(counts.astype(np.float64))
     yield pd.DataFrame([{
         "lang": lang, "host": host, "window_start": window_start,
         "n_docs": int(n_docs), "n_batches": int(n_batches), **feats}])
@@ -103,9 +121,13 @@ def accumulate_glcm(key, pdfs: Iterator[pd.DataFrame],
 
 def glcm_vec_udf():
     """Arrow UDF: html -> flattened L² GLCM count vector (map-side),
-    packed as little-endian float64 BYTES: Arrow converts a bytes column
-    ~10x faster than a 1024-element array<double> column (no per-element
-    boxing in the serializer), and the packed form shuffles identically."""
+    packed as little-endian uint32 BYTES: a bytes column converts ~10x
+    faster than a 1024-element array<double> in the Arrow serializer,
+    and uint32 halves the state-exchange payload vs float64 (4 KiB/doc).
+    Counts fit uint32 exactly — one document's pair count is bounded by
+    plane pixels x angles << 2^32 — and the state side re-widens to
+    int64/float64, so accumulated features are bit-identical to the
+    float64 packing."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
@@ -113,7 +135,7 @@ def glcm_vec_udf():
     def _vec(html: pd.Series) -> pd.Series:
         counts = kernel.glcm_counts_htmls(html.tolist())
         n = len(html)
-        flat = counts.reshape(n, -1).astype("<f8")
+        flat = counts.reshape(n, -1).astype("<u4")
         return pd.Series([flat[i].tobytes() for i in range(n)])
     return _vec
 

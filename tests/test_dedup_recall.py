@@ -3,9 +3,9 @@ verdict: MinHash LSH / hyperplane ANN had zero value verification and the
 ANN query returned 0 rows). Planted near-duplicates with known similarity
 are recovered at (at least) the LSH S-curve rate, and every reported pair
 carries an exactly-verified score; ground truth is an independent
-test-side brute-force implementation, not the engine."""
-
-import hashlib
+test-side brute-force implementation, not the engine — including a SCALAR
+reimplementation of the engine's vectorized FNV/splitmix hashing contract,
+so the numpy batch vectorization in dedup.py is pinned bit-for-bit."""
 
 import numpy as np
 import pandas as pd
@@ -13,6 +13,31 @@ import pytest
 from pyspark.sql import functions as F
 
 from glcmstream import dedup, similarity
+
+_M64 = (1 << 64) - 1
+
+
+def _mix_scalar(h):
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & _M64
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & _M64
+    h ^= h >> 31
+    return h
+
+
+def _token_hash_scalar(tok):
+    h = 0xCBF29CE484222325
+    for byte in tok.encode("utf-8")[:64]:
+        h = ((h ^ byte) * 0x100000001B3) & _M64
+    return _mix_scalar(h)
+
+
+def _shingle_hash_scalar(token_hashes):
+    h = token_hashes[0]
+    for t in token_hashes[1:]:
+        h = (((h * 0x100000001B3) & _M64) ^ t) & _M64
+    return _mix_scalar(h)
 
 
 # ---------------------------------------------------------------------------
@@ -43,9 +68,13 @@ def _mk_docs():
 
 def _shingles(text, k=dedup.SHINGLE_K):
     toks = text.split()
-    sh = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-    return {int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-            for s in sh}
+    th = [_token_hash_scalar(t) for t in toks]
+    if not th:
+        return set()
+    if len(th) < k:
+        return {_shingle_hash_scalar(th)}
+    return {_shingle_hash_scalar(th[i:i + k])
+            for i in range(len(th) - k + 1)}
 
 
 def _true_jaccard(ta, tb):
@@ -104,11 +133,12 @@ def test_minhash_exact_duplicates_always_collide(spark):
 
 
 def _simhash64(text):
-    """Independent test-side simhash (same md5 token hashing contract)."""
+    """Independent test-side simhash (scalar FNV/splitmix token-hash
+    contract — pins the engine's vectorized batch hashing)."""
     toks = text.split()
     votes = np.zeros(64, dtype=np.int64)
     for w in toks:
-        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+        h = _token_hash_scalar(w)
         for b in range(64):
             votes[b] += 1 if (h >> b) & 1 else -1
     sig = 0
@@ -196,10 +226,65 @@ def test_ann_lsh_recall_vs_brute_force(spark):
         assert pair in truth
         assert abs(c - truth[pair]) < 5e-4
 
-    # planted pairs at cos ~0.98: per-band p = (1-acos(.98)/pi)^4 ~ 0.77,
-    # P(found) = 1-(1-p)^4 ~ 0.997 -> expect >= 8 of 10 deterministically
+    # planted pairs at cos ~0.98: default geometry at n=220 is 8 bands x
+    # 4 bits; per-band p = (1-acos(.98)/pi)^4 ~ 0.77, P(found) =
+    # 1-(1-p)^8 ~ 0.9997 -> expect >= 8 of 10 deterministically
     found = sum(1 for p in planted if p in got)
     assert found >= 8, f"planted near-dup recall too low: {found}/10"
+
+
+def test_ann_lsh_second_geometry(spark):
+    """Geometry is a per-call parameter (round-2 verdict #4): a
+    large-corpus-shaped geometry (16 bands x 8 bits) must still recover
+    the planted cos~0.98 pairs — per-band p = (1-acos(.98)/pi)^8 ~ 0.59,
+    P(found) = 1-(1-p)^16 ~ 1-6e-7 — with zero false positives from the
+    exact re-rank."""
+    pdf, planted = _mk_embeddings()
+    emb = spark.createDataFrame(pdf)
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in similarity.lsh_near_neighbors(
+               emb, min_cosine=0.9, bands=16, band_bits=8).collect()}
+    M = np.stack([np.asarray(v) for v in pdf.embedding])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    ids = pdf.vec_id.to_numpy()
+    truth = {(int(ids[i]), int(ids[j])): sims[i, j]
+             for i in range(len(ids)) for j in range(i + 1, len(ids))
+             if sims[i, j] >= 0.9}
+    for pair, c in got.items():
+        assert pair in truth and abs(c - truth[pair]) < 5e-4
+    found = sum(1 for p in planted if p in got)
+    assert found >= 9, f"planted recall at 16x8 geometry: {found}/10"
+
+
+def test_minhash_lsh_second_geometry(spark):
+    """Band count is a per-call parameter: 16 bands x 2 rows trades
+    candidates for recall — P(found|J=0.8) = 1-(1-0.64)^16 ~ 1-8e-8, so
+    the high-overlap planted pairs must all be recalled; precision stays
+    exact via the full-set Jaccard verify."""
+    pdf, planted = _mk_docs()
+    docs = spark.createDataFrame(pdf)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.3,
+                                            bands=16).collect()}
+    texts = dict(zip(pdf.doc_id, pdf.text))
+    for (a, b), j in got.items():
+        assert abs(j - _true_jaccard(texts[a], texts[b])) < 5e-4
+    high = [p for p in planted
+            if _true_jaccard(texts[p[0]], texts[p[1]]) >= 0.8]
+    assert high and all(p in got for p in high)
+
+
+def test_vectorized_hashing_matches_scalar_reference():
+    """The numpy batch FNV/splitmix hashing (padded-gather + column fold)
+    must equal the scalar per-byte reference exactly — including empty
+    docs, sub-k-token docs, and tokens beyond the 64-byte hash prefix."""
+    texts = pd.Series(["a b c d e", "", "one", "uno dos",
+                       "longtoken" * 12 + " y z q tail tokens here",
+                       "ünïcode tökens höre mit umläuten"])
+    got = dedup._token_hashes(texts)
+    for t, g in zip(texts, got):
+        assert {int(x) for x in g} == _shingles(t)
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):
@@ -226,6 +311,64 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     id2row = {int(v): j for j, v in enumerate(ids)}
     for vid, c in scored.items():
         assert abs(c - sims[id2row[vid]]) < 5e-4
+
+
+def test_ivf_trained_recall_vs_brute_force(spark, tmp_path):
+    """The learned-codebook materialized IVF index (k-means codebook +
+    cell-partitioned assignment) must match or beat the bootstrap
+    quantizer's recall, with exact re-rank scores, and the second call
+    must reuse the built index (no retrain)."""
+    import os
+    pdf, planted = _mk_embeddings()
+    emb = spark.createDataFrame(pdf)
+    tdir = str(tmp_path / "ivf_idx")
+    M = np.stack([np.asarray(v) for v in pdf.embedding])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    id2row = {int(v): j for j, v in enumerate(ids)}
+
+    # aggregate recall over a background probe + three planted probes:
+    # the learned codebook must match-or-beat the bootstrap quantizer,
+    # and a planted probe's cos~0.98 twin must land in a probed cell
+    targets = [0, planted[0][0], planted[1][0], planted[2][0]]
+    rec_t = rec_b = 0
+    built_at = None
+    for target in targets:
+        i0 = id2row[target]
+        sims = M @ M[i0]
+        order = [int(ids[j]) for j in np.argsort(-sims)
+                 if ids[j] != target]
+        true10 = set(order[:10])
+        got = {r.vec_id: r.cosine for r in
+               similarity.ivf_topk_trained(spark, emb, tdir,
+                                           target_id=target, k=10)
+               .collect()}
+        if built_at is None:
+            assert os.path.exists(os.path.join(tdir, "_BUILT"))
+            built_at = os.path.getmtime(os.path.join(tdir, "_BUILT"))
+        got_b = {r.vec_id for r in
+                 similarity.ivf_topk(emb, target_id=target, k=10)
+                 .collect()}
+        rec_t += len(true10 & set(got))
+        rec_b += len(true10 & got_b)
+        if target != 0:
+            assert order[0] in got, f"twin of planted {target} missed"
+        for vid, c in got.items():  # exact re-rank scores
+            assert abs(c - sims[id2row[vid]]) < 5e-4
+    assert rec_t >= rec_b, f"trained {rec_t}/40 < bootstrap {rec_b}/40"
+    assert rec_t >= 20, f"trained aggregate recall too low: {rec_t}/40"
+
+    # k-means cells should spread the corpus: no cell hoards > 60%
+    asg = spark.read.parquet(os.path.join(tdir, "assignment"))
+    counts = [r["n"] for r in
+              asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+              .collect()]
+    assert len(counts) >= 8 and max(counts) / sum(counts) < 0.6
+
+    # second query reuses the built index
+    similarity.ivf_topk_trained(spark, emb, tdir, target_id=1, k=5) \
+        .collect()
+    assert os.path.getmtime(os.path.join(tdir, "_BUILT")) == built_at
 
 
 def test_ann_lsh_sf001_query_returns_rows(spark):
