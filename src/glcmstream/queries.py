@@ -1620,6 +1620,136 @@ def regex_token_stats(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_docs")))
 
 
+@register("iceberg_merge_upsert", f"""
+WITH {plan.PAGES_SQL_CTE},
+latest AS (
+  SELECT lang, warc_ts,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC) AS rn
+  FROM pages)
+SELECT lang, count(*) AS n_urls,
+       CAST(sum(epoch_us(warc_ts)) AS BIGINT) AS ts_sum
+FROM latest WHERE rn = 1 GROUP BY lang
+""")
+def iceberg_merge_upsert(spark, sf_dir):
+    """Iceberg-style MERGE INTO (copy-on-write upsert): epoch 0 commits
+    the FIRST crawl of every url, epoch 1 merge-commits the latest
+    re-crawl rows keyed by url; read_latest() resolves shadowing so the
+    table shows exactly one row per url — the newest crawl. The oracle
+    recomputes latest-crawl-per-url declaratively over the same pages."""
+    import hashlib
+    import os
+
+    from pyspark.sql import Window as W
+
+    from .sink import IcebergLiteTable
+    _ensure_session_confs(spark)
+    tdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch",
+        "qmerge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    table = IcebergLiteTable(tdir)
+    if not table.is_committed(1):
+        pages = plan.pages_from_documents(spark, sf_dir).drop("html")
+        w = W.partitionBy("url").orderBy("warc_ts")
+        ranked = pages.withColumn("_rn", F.row_number().over(w)) \
+            .withColumn("_n", F.count(F.lit(1)).over(
+                W.partitionBy("url")))
+        table.commit(ranked.filter(F.col("_rn") == 1)
+                     .drop("_rn", "_n"), 0)
+        wd = W.partitionBy("url").orderBy(F.desc("warc_ts"))
+        recrawled = (ranked.filter(F.col("_n") > 1).drop("_rn", "_n")
+                     .withColumn("_rn", F.row_number().over(wd))
+                     .filter(F.col("_rn") == 1).drop("_rn"))
+        table.merge_commit(recrawled, 1, key_col="url")
+    latest = table.read_latest(spark, key_col="url")
+    return (latest.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.sum(F.unix_micros("warc_ts")).alias("ts_sum")))
+
+
+@register("iceberg_compacted_scan", f"""
+WITH {plan.PAGES_SQL_CTE}
+SELECT lang, count(*) AS n_pages,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM pages GROUP BY lang
+""")
+def iceberg_compacted_scan(spark, sf_dir):
+    """Compaction (Iceberg rewrite_data_files): three small commits are
+    rewritten into one snapshot; the scan after compaction must produce
+    the identical row set — the oracle aggregates the original logical
+    content, so any row lost or duplicated by the rewrite hash-fails."""
+    import hashlib
+    import os
+
+    from .sink import IcebergLiteTable
+    _ensure_session_confs(spark)
+    tdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch",
+        "qcompact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    table = IcebergLiteTable(tdir)
+    if not table._all_epochs():
+        pages = plan.pages_from_documents(spark, sf_dir).drop("html")
+        for i in range(3):
+            table.commit(pages.filter(F.col("doc_id") % 3 == i), i)
+        table.compact(spark)
+    assert len(table.committed_epochs()) == 1  # compacted snapshot only
+    return (table.read(spark).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+@register("tfidf_top_terms", """
+WITH tf AS (
+  SELECT doc_id, lang, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents) WHERE w <> ''
+  GROUP BY doc_id, lang, w),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT lang, term,
+         sum(tf * ln(CAST(n_docs AS DOUBLE) / df)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY lang, term),
+ranked AS (
+  SELECT lang, term, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, term) AS rn
+  FROM scored)
+SELECT lang, term, round(score, 4) AS tfidf, rn
+FROM ranked WHERE rn <= 5
+""")
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF term scoring over the documents corpus: per-(doc, term)
+    term frequency, corpus document frequency, idf = ln(N/df), top-5
+    terms per lang by summed tf-idf. The textbook shape a training-data
+    pipeline uses for keyword/quality signals; every stage is built-in
+    (explode -> two hash aggs -> broadcast joins -> rank window), so
+    Catalyst handles partial aggregation and the df table broadcasts."""
+    d = _t(spark, sf_dir, "documents")
+    words = (d.select("doc_id", "lang",
+                      F.explode(F.split(F.trim("text"), r"\s+"))
+                      .alias("term"))
+             .filter(F.col("term") != ""))
+    tf = words.groupBy("doc_id", "lang", "term") \
+        .agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(n))
+              .groupBy("lang", "term")
+              .agg(F.sum(F.col("tf")
+                         * F.log(F.col("n_docs").cast("double")
+                                 / F.col("df"))).alias("score")))
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("lang", "term", F.round("score", 4).alias("tfidf"),
+                    "rn"))
+
+
 # ===========================================================================
 # Registry ordering for the driver's correctness sampler
 # ===========================================================================
@@ -1647,10 +1777,10 @@ _CHECK_FIRST = [
     "approx_distinct_parts",
 ]
 _CHECK_MID = [
-    "pricing_summary", "filter_pushdown_part", "rollup_flag_status",
-    "cube_segment_nation", "join_broadcast_region", "revenue_by_priority",
+    "pricing_summary", "filter_pushdown_part",
+    "join_broadcast_region", "revenue_by_priority",
     "asof_join_click_purchase", "range_join_event_pairs",
-    "recrawl_interval_join", "window_rank_orders", "map_json_props",
+    "recrawl_interval_join", "map_json_props",
     "dedup_exact_docs", "token_stats", "text_quality", "lang_id_markers",
     "jaccard_word_pairs", "minhash_lsh_dedup", "simhash_near_pairs",
     "ann_topk_cosine", "ivf_cell_counts", "ivf_topk_cosine",
@@ -1662,6 +1792,7 @@ _CHECK_MID = [
 ]
 _CHECK_LAST = [
     "top10_orders", "window_lag_delta", "window_rolling_sum",
+    "rollup_flag_status", "cube_segment_nation", "window_rank_orders",
     "setop_active_rich_customers", "setop_inactive_customers",
     "datetime_monthly_orders", "json_props_stats", "percentile_prices",
     "distinct_parts_per_flag", "anti_join_customers",

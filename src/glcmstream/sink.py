@@ -52,7 +52,9 @@ class IcebergLiteTable:
         return os.path.exists(self._manifest_path(epoch_id))
 
     def commit(self, batch_df: DataFrame, epoch_id: int,
-               partition_days_col: str | None = None) -> bool:
+               partition_days_col: str | None = None,
+               _kind: str = "append",
+               _extra: dict | None = None) -> bool:
         """Idempotent epoch commit. Returns False on replayed no-op.
 
         The epoch plan executes exactly ONCE — the parquet write. Lineage
@@ -100,6 +102,8 @@ class IcebergLiteTable:
         # warc_day dir, so part numbers repeat across dirs
         manifest = {
             "epoch_id": int(epoch_id),
+            "kind": _kind,
+            **(_extra or {}),
             "schema": batch_df.schema.jsonValue(),
             "files": files,
             "partitions": [{"file": os.path.relpath(
@@ -130,31 +134,103 @@ class IcebergLiteTable:
             self.commit(batch_df, epoch_id)
         return fn
 
+    # -- merge / compaction (Iceberg MERGE INTO & rewrite_data_files) ------
+
+    def merge_commit(self, batch_df: DataFrame, epoch_id: int,
+                     key_col: str) -> bool:
+        """Iceberg-style MERGE (copy-on-write upsert): commits a snapshot
+        whose rows REPLACE every earlier row sharing the same `key_col`
+        value. Shadowing is resolved at read time by read_latest() — the
+        manifest records the merge kind + key so any reader can resolve
+        it. Idempotent per epoch like commit()."""
+        return self.commit(batch_df, epoch_id, _kind="merge",
+                           _extra={"merge_key": key_col})
+
+    def read_latest(self, spark: SparkSession, key_col: str,
+                    as_of_epoch: int | None = None) -> DataFrame:
+        """Merge-aware read: a row from epoch e is visible iff no LATER
+        merge epoch carries its key (e >= last merge epoch touching the
+        key). Append epochs may legitimately hold multiple rows per key
+        (recrawls); merges shadow all of them at once. The shadow map is
+        (key, max merge epoch) — delta-sized, so the join stays cheap at
+        any table size (AQE broadcasts it when small)."""
+        df = self.read(spark, as_of_epoch=as_of_epoch)
+        merge_epochs = [m["epoch_id"] for m in self.manifests(as_of_epoch)
+                        if m.get("kind") == "merge"]
+        if not merge_epochs:
+            return df
+        mk = (df.filter(F.col("epoch").isin(merge_epochs))
+              .groupBy(key_col)
+              .agg(F.max("epoch").alias("_last_merge")))
+        return (df.join(mk, key_col, "left")
+                .filter(F.col("_last_merge").isNull()
+                        | (F.col("epoch") >= F.col("_last_merge")))
+                .drop("_last_merge"))
+
+    def compact(self, spark: SparkSession,
+                merge_key: str | None = None) -> int:
+        """Rewrite every live epoch into ONE new snapshot (Iceberg
+        rewrite_data_files): readers see an identical row set before and
+        after, small files collapse, and the compaction manifest lists
+        the epochs it replaces — committed_epochs()/read() hide replaced
+        epochs at the latest snapshot while TIME TRAVEL to an older
+        snapshot still resolves against the original epoch dirs (old
+        data files are retained until an explicit expire, as in Iceberg).
+
+        If merge epochs exist their shadowing must be resolved into the
+        compacted rows — pass the merge key; refuses otherwise rather
+        than silently dropping upsert semantics. Returns the new epoch
+        id."""
+        live = self.committed_epochs()
+        has_merge = any(m.get("kind") == "merge" for m in self.manifests())
+        if has_merge and merge_key is None:
+            raise ValueError("table has merge snapshots; compact needs "
+                             "the merge key to resolve shadowing")
+        new_epoch = max(self._all_epochs()) + 1
+        df = (self.read_latest(spark, merge_key) if has_merge
+              else self.read(spark)).drop("epoch")
+        self.commit(df, new_epoch, _kind="compaction",
+                    _extra={"replaces": live})
+        return new_epoch
+
     # -- read --------------------------------------------------------------
 
-    def committed_epochs(self) -> list[int]:
+    def _all_epochs(self) -> list[int]:
         out = []
         for fn in os.listdir(self.manifest_dir):
             if fn.startswith("epoch-") and fn.endswith(".json"):
                 out.append(int(fn[len("epoch-"):-len(".json")]))
         return sorted(out)
 
-    def manifests(self) -> list[dict]:
+    def committed_epochs(self, as_of_epoch: int | None = None) -> list[int]:
+        """Live epochs at a snapshot: manifest-committed, minus epochs
+        replaced by a compaction at or before the snapshot."""
+        epochs = self._all_epochs()
+        if as_of_epoch is not None:
+            epochs = [e for e in epochs if e <= as_of_epoch]
+        replaced: set[int] = set()
+        for e in epochs:
+            m = json.load(open(self._manifest_path(e)))
+            if m.get("kind") == "compaction":
+                replaced.update(m.get("replaces", []))
+        return [e for e in epochs if e not in replaced]
+
+    def manifests(self, as_of_epoch: int | None = None) -> list[dict]:
         return [json.load(open(self._manifest_path(e)))
-                for e in self.committed_epochs()]
+                for e in self.committed_epochs(as_of_epoch)]
 
     def read(self, spark: SparkSession,
              as_of_epoch: int | None = None) -> DataFrame:
         """Snapshot-isolated read: only manifest-committed epoch dirs.
 
         `as_of_epoch` is Iceberg-style time travel (snapshot-id = epoch
-        id): the returned DataFrame sees exactly the epochs committed at
-        or before it. The epoch list is resolved HERE, so commits landing
-        after read() never leak into the returned plan — snapshot
-        isolation under concurrent writers (test_snapshot_isolation)."""
-        epochs = self.committed_epochs()
-        if as_of_epoch is not None:
-            epochs = [e for e in epochs if e <= as_of_epoch]
+        id): the returned DataFrame sees exactly the epochs live at that
+        snapshot (compactions after it are invisible; epochs it replaced
+        resolve normally for older snapshots). The epoch list is resolved
+        HERE, so commits landing after read() never leak into the
+        returned plan — snapshot isolation under concurrent writers
+        (test_snapshot_isolation)."""
+        epochs = self.committed_epochs(as_of_epoch)
         if not epochs:
             raise ValueError(f"no committed epochs in {self.table_dir}"
                              f" (as_of_epoch={as_of_epoch})")
@@ -201,10 +277,16 @@ class IcebergLiteTable:
                         yield pa.RecordBatch.from_arrays(cols, names=names)
 
         mdf = (spark.readStream
-               .schema("epoch_id long, files array<string>")
+               .schema("epoch_id long, kind string, files array<string>")
                .option("maxFilesPerTrigger", "1")
                .json(self.manifest_dir))
-        paths = mdf.select(F.explode("files").alias("path"))
+        # compaction snapshots REWRITE already-streamed rows — a CDC
+        # consumer must skip them or see every row twice. Merge snapshots
+        # stream as appends (upsert resolution is the downstream
+        # consumer's contract, as with Iceberg's changelog scan).
+        live = mdf.filter(F.col("kind").isNull()
+                          | (F.col("kind") != "compaction"))
+        paths = live.select(F.explode("files").alias("path"))
         return paths.mapInArrow(read_rows, ddl)
 
     def destroy(self) -> None:

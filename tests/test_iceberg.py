@@ -121,6 +121,90 @@ def test_lineage_certifies_written_rows(spark, table):
         assert len(p["input_hash"]) == 16
 
 
+def test_merge_upsert_latest_wins(spark, table):
+    """MERGE semantics: a merge snapshot's rows shadow every earlier row
+    with the same key; appends after the merge are visible again; a
+    later merge re-shadows. Mirrors Iceberg MERGE INTO resolution."""
+    base = _pages(spark, range(0, 10), 1)
+    table.commit(base, 0)
+    # merge: docs 3..6 re-crawled on day 2 (same urls -> same doc_id key)
+    upd = _pages(spark, range(3, 7), 2)
+    table.merge_commit(upd, 1, key_col="doc_id")
+
+    latest = table.read_latest(spark, key_col="doc_id")
+    assert latest.count() == 10
+    days = {r.doc_id: r.warc_ts.day for r in latest.collect()}
+    for i in range(10):
+        assert days[i] == (2 if 3 <= i < 7 else 1)
+
+    # append after the merge: doc 3 crawled again on day 3 -> both the
+    # merged row and the new append row are visible (append != upsert)
+    table.commit(_pages(spark, [3], 3), 2)
+    latest2 = table.read_latest(spark, key_col="doc_id")
+    assert latest2.count() == 11
+    assert sorted(r.warc_ts.day for r in
+                  latest2.filter(F.col("doc_id") == 3).collect()) == [2, 3]
+
+    # a second merge on doc 3 shadows BOTH of those rows
+    table.merge_commit(_pages(spark, [3], 4), 3, key_col="doc_id")
+    latest3 = table.read_latest(spark, key_col="doc_id")
+    assert latest3.count() == 10
+    assert [r.warc_ts.day for r in
+            latest3.filter(F.col("doc_id") == 3).collect()] == [4]
+
+
+def test_compaction_preserves_rows_reduces_files(spark, table):
+    """rewrite_data_files: identical row set before/after, fewer data
+    files, replaced epochs hidden at the latest snapshot but still
+    resolvable via time travel; the manifest-log stream must not replay
+    compacted rows."""
+    for i in range(3):
+        table.commit(_pages(spark, range(10 * i, 10 * (i + 1)), i + 1), i)
+    before = {r.doc_id for r in table.read(spark).collect()}
+    files_before = sum(len(m["files"]) for m in table.manifests())
+
+    new_epoch = table.compact(spark)
+    assert table.committed_epochs() == [new_epoch]
+    after = {r.doc_id for r in table.read(spark).collect()}
+    assert after == before == set(range(30))
+    files_after = sum(len(m["files"]) for m in table.manifests())
+    assert files_after < files_before
+
+    # time travel to a pre-compaction snapshot sees the original epochs
+    assert {r.doc_id for r in
+            table.read(spark, as_of_epoch=1).collect()} == set(range(20))
+
+    # manifest-log stream: compaction snapshots are skipped (a CDC
+    # consumer would otherwise see every row twice)
+    import shutil as _sh
+    import time as _time
+    ckpt = os.path.join(SCRATCH, "ice_compact_stream_ckpt")
+    _sh.rmtree(ckpt, ignore_errors=True)
+    seen: set = set()
+
+    def fb(df, eid):
+        seen.update(r.doc_id for r in df.collect())
+
+    q = (table.read_stream(spark).writeStream.outputMode("append")
+         .foreachBatch(fb).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert seen == set(range(30))
+
+
+def test_compaction_with_merge_resolves_shadowing(spark, table):
+    table.commit(_pages(spark, range(0, 10), 1), 0)
+    table.merge_commit(_pages(spark, range(3, 7), 2), 1, key_col="doc_id")
+    with pytest.raises(ValueError):
+        table.compact(spark)  # must not silently drop upsert semantics
+    table.compact(spark, merge_key="doc_id")
+    rows = table.read(spark).collect()
+    assert len(rows) == 10
+    days = {r.doc_id: r.warc_ts.day for r in rows}
+    for i in range(10):
+        assert days[i] == (2 if 3 <= i < 7 else 1)
+
+
 def test_lineage_keys_unique_for_partitioned_commit(spark, table):
     """With a days() partition layout each task writes one part file per
     warc_day dir, so part numbers repeat — the lineage key is the FILE
