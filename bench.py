@@ -146,7 +146,9 @@ def main() -> None:
                  "minhash_lsh_dedup", "ann_topk_cosine", "ann_lsh_pairs",
                  "token_stats", "recrawl_interval_join", "salted_host_agg",
                  "streaming_tumbling_events", "iceberg_scan_pages",
-                 "map_json_props", "streaming_session_pages"]:
+                 "map_json_props", "streaming_session_pages",
+                 "heavy_hitters_hosts", "corpus_clean_stats",
+                 "tfidf_top_terms"]:
         t0 = time.perf_counter()
         registry[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

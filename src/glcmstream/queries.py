@@ -1750,6 +1750,74 @@ def tfidf_top_terms(spark, sf_dir):
                     "rn"))
 
 
+@register("heavy_hitters_hosts", f"""
+WITH {plan.PAGES_SQL_CTE},
+hosted AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host
+           FROM pages),
+tot AS (SELECT count(*) AS total FROM hosted)
+SELECT host AS value, count(*) AS n
+FROM hosted, tot
+GROUP BY host, total
+HAVING count(*) > total / 12
+""")
+def heavy_hitters_hosts(spark, sf_dir):
+    """EXACT distributed heavy hitters over the deliberately hot host
+    key (skew.heavy_hitters): per-Arrow-batch local frequency summaries
+    give a pigeonhole-guaranteed candidate superset without a full-key
+    shuffle; a broadcast semi-join + exact count over the tiny candidate
+    set verifies. The oracle is the brute-force full GROUP BY + HAVING —
+    proving the two-phase sketch-then-verify answer is exact. At 100 TB
+    the full-key shuffle is the thing you can't afford; this scans once
+    and shuffles only <=k rows per batch."""
+    _ensure_session_confs(spark)
+    pages = plan.pages_from_documents(spark, sf_dir)
+    hosted = pages.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+    return skew.heavy_hitters(hosted, "host", k=12)
+
+
+@register("corpus_clean_stats", f"""
+WITH {plan.PAGES_SQL_CTE},
+pre AS (
+  SELECT doc_id, lang, epoch_us(warc_ts) AS ts_us,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+         md5(text) AS h
+  FROM pages),
+filtered AS (SELECT * FROM pre WHERE ntok BETWEEN 10 AND 5000),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY h
+                               ORDER BY ts_us, doc_id) AS rn
+  FROM filtered)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+       round(avg(ntok), 4) AS avg_tokens
+FROM ranked WHERE rn = 1 GROUP BY lang
+""")
+def corpus_clean_stats(spark, sf_dir):
+    """Composed training-corpus cleaning pipeline in one plan: token-count
+    quality gate -> exact dedup keeping the earliest crawl (the ~10%
+    recrawl twins in the pages fixture are real duplicates) -> per-lang
+    corpus stats. Scale shape: the text is md5-fingerprinted *before* the
+    dedup shuffle, so only (doc_id, lang, ts, ntok, 32B hash) rows move;
+    the quality filter prunes before the exchange; the final agg is a
+    partial-agg hash groupBy on a low-cardinality key."""
+    _ensure_session_confs(spark)
+    pages = plan.pages_from_documents(spark, sf_dir)
+    pre = pages.select(
+        "doc_id", "lang", F.unix_micros("warc_ts").alias("ts_us"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+        .alias("ntok"),
+        F.md5(F.col("text").cast("binary")).alias("h"))
+    filtered = pre.filter(F.col("ntok").between(10, 5000))
+    w = Window.partitionBy("h").orderBy("ts_us", "doc_id")
+    kept = (filtered.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("sum_tokens"),
+        F.round(F.avg("ntok"), 4).alias("avg_tokens"))
+
+
 # ===========================================================================
 # Registry ordering for the driver's correctness sampler
 # ===========================================================================
@@ -1781,7 +1849,7 @@ _CHECK_MID = [
     "join_broadcast_region", "revenue_by_priority",
     "asof_join_click_purchase", "range_join_event_pairs",
     "recrawl_interval_join", "map_json_props",
-    "dedup_exact_docs", "token_stats", "text_quality", "lang_id_markers",
+    "token_stats", "lang_id_markers",
     "jaccard_word_pairs", "minhash_lsh_dedup", "simhash_near_pairs",
     "ann_topk_cosine", "ivf_cell_counts", "ivf_topk_cosine",
     "ann_lsh_pairs", "multimodal_metadata", "multimodal_resize",
@@ -1798,7 +1866,8 @@ _CHECK_LAST = [
     "distinct_parts_per_flag", "anti_join_customers",
     "semi_join_suppliers", "outer_join_order_histogram",
     "string_fns_hosts", "embedding_norms", "cosine_to_v0",
-    "doc_fingerprints", "simhash_buckets",
+    "doc_fingerprints", "simhash_buckets", "dedup_exact_docs",
+    "text_quality",
 ]
 
 

@@ -16,6 +16,41 @@ from pyspark.sql import functions as F
 from . import config
 
 
+def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
+    """EXACT distributed heavy hitters (frequency > N/k) via the
+    sketch-for-candidates / exact-for-answer pattern the engine uses for
+    dedup: per-batch local frequency summaries produce a candidate set,
+    then one exact aggregation over only the candidates verifies.
+
+    Correctness is provable, not probabilistic: if an item's global
+    count exceeds N/k, then on at least one Arrow batch its local count
+    exceeds that batch's n_b/k (pigeonhole: if count_b <= n_b/k on every
+    batch, summing gives total <= N/k) — so the union of per-batch
+    "locally heavy" values is a guaranteed superset of the true heavy
+    hitters, at most k values per batch. Cost: one narrow scan emitting
+    <= k rows per Arrow batch (no full-key shuffle — this is how you
+    FIND the hot hosts that salted_sum_agg then spreads), plus an exact
+    count of the small candidate set via broadcast semi-join.
+
+    Returns (value, n) for every value with n > N/k, exact counts."""
+    import pandas as pd
+
+    def local_heavy(it):
+        for pdf in it:
+            vc = pdf[col].value_counts()
+            cand = vc[vc > len(pdf) / k]
+            if len(cand):
+                yield pd.DataFrame({col: cand.index})
+
+    cands = (df.select(col).mapInPandas(local_heavy, f"{col} string")
+             .distinct())
+    total = df.count()
+    exact = (df.join(F.broadcast(cands), col, "left_semi")
+             .groupBy(col).agg(F.count(F.lit(1)).alias("n")))
+    return (exact.filter(F.col("n") > total / k)
+            .select(F.col(col).alias("value"), "n"))
+
+
 def salted_sum_agg(df: DataFrame, keys: list[str],
                    sums: dict[str, str], counts: str | None = "n",
                    buckets: int = config.SALT_BUCKETS) -> DataFrame:

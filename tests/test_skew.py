@@ -1,0 +1,57 @@
+"""skew.py: heavy_hitters exactness guarantee + salted agg parity.
+
+heavy_hitters claims a provable (pigeonhole) candidate superset: its
+answer must equal the brute-force full GROUP BY + HAVING for ANY k and
+ANY partition layout. We check two k values and a skewed repartition.
+"""
+
+from pyspark.sql import functions as F
+
+from glcmstream import skew
+
+
+def _brute(df, col, k):
+    total = df.count()
+    return {(r["value"], r["n"]) for r in
+            df.groupBy(F.col(col).alias("value"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") > total / k).collect()}
+
+
+def _hosted(spark, sf_dir):
+    from glcmstream import plan
+    pages = plan.pages_from_documents(spark, sf_dir)
+    return pages.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+
+
+def test_heavy_hitters_exact_two_geometries(spark, sf_smoke):
+    hosted = _hosted(spark, sf_smoke)
+    for k in (3, 12, 40):
+        got = {(r["value"], r["n"]) for r in
+               skew.heavy_hitters(hosted, "host", k=k).collect()}
+        assert got == _brute(hosted, "host", k), f"k={k}"
+    # k=12 must surface the deliberate 40% hot host and only it
+    hh12 = {v for v, _ in _brute(hosted, "host", 12)}
+    assert hh12 == {"host0000.example.com"}
+
+
+def test_heavy_hitters_layout_independent(spark, sf_smoke):
+    """Answer identical under an adversarial layout where the hot key is
+    spread thin across many partitions (each local count small)."""
+    hosted = _hosted(spark, sf_smoke).repartition(32)  # round-robin
+    got = {(r["value"], r["n"]) for r in
+           skew.heavy_hitters(hosted, "host", k=12).collect()}
+    assert got == _brute(hosted, "host", 12)
+
+
+def test_salted_sum_agg_matches_plain(spark, sf_smoke):
+    hosted = _hosted(spark, sf_smoke).withColumn("one", F.lit(1))
+    salted = {(r["host"], r["s"], r["n"]) for r in
+              skew.salted_sum_agg(hosted, ["host"], {"s": "one"},
+                                  counts="n").collect()}
+    plain = {(r["host"], r["s"], r["n"]) for r in
+             hosted.groupBy("host")
+             .agg(F.sum("one").alias("s"),
+                  F.count(F.lit(1)).alias("n")).collect()}
+    assert salted == plain
