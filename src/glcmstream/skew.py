@@ -29,11 +29,16 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     "locally heavy" values is a guaranteed superset of the true heavy
     hitters, at most k values per batch. Cost: one narrow scan emitting
     <= k rows per Arrow batch (no full-key shuffle — this is how you
-    FIND the hot hosts that salted_sum_agg then spreads), plus an exact
-    count of the small candidate set via broadcast semi-join.
+    FIND the hot hosts that salted_sum_agg then spreads), plus ONE exact
+    verify scan: non-candidates collapse to a null bucket via broadcast
+    join, and a ROLLUP produces the per-candidate counts AND the grand
+    total N in the same aggregation — no driver-side count() action, no
+    third scan; the N/k threshold is applied with a window over the
+    <= k+2 rollup rows.
 
     Returns (value, n) for every value with n > N/k, exact counts."""
     import pandas as pd
+    from pyspark.sql import Window
 
     def local_heavy(it):
         for pdf in it:
@@ -43,12 +48,20 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
                 yield pd.DataFrame({col: cand.index})
 
     cands = (df.select(col).mapInPandas(local_heavy, f"{col} string")
-             .distinct())
-    total = df.count()
-    exact = (df.join(F.broadcast(cands), col, "left_semi")
-             .groupBy(col).agg(F.count(F.lit(1)).alias("n")))
-    return (exact.filter(F.col("n") > total / k)
-            .select(F.col(col).alias("value"), "n"))
+             .distinct().withColumn("_cand", F.lit(True)))
+    marked = (df.select(col).join(F.broadcast(cands), col, "left")
+              .select(F.when(F.col("_cand"), F.col(col)).alias("value")))
+    rolled = marked.rollup("value").agg(
+        F.count(F.lit(1)).alias("n"), F.grouping("value").alias("_g"))
+    # _g=1 row is the grand total N; window is over <= k+2 rows, so the
+    # single-partition analytic is trivially cheap
+    w = Window.partitionBy(F.lit(1))
+    return (rolled
+            .withColumn("_total", F.max(F.when(F.col("_g") == 1,
+                                               F.col("n"))).over(w))
+            .filter((F.col("_g") == 0) & F.col("value").isNotNull()
+                    & (F.col("n") > F.col("_total") / k))
+            .select("value", "n"))
 
 
 def salted_sum_agg(df: DataFrame, keys: list[str],
