@@ -137,6 +137,14 @@ def main() -> None:
     q2.awaitTermination()
     spark.table("bench_state").count()
     timings["glcm_stateful_accum"] = round(time.perf_counter() - t0, 3)
+    # The fused-gvec stateful variant (state.stateful_glcm_agg_fused) is
+    # deliberately NOT a bench leg: on this fixture's ~1-13 KiB pages the
+    # fixed 4 KiB gvec leaving the python worker costs about what the
+    # html costs entering it (A/B measured 13.6-21.8s classic vs
+    # 15.7-17.9s fused — within host noise), so the leg would only add
+    # noise. It exists for the 100 TB shape (50-100 KiB pages) where the
+    # input pipe dominates; exactness is pinned by
+    # tests/test_fused.py::test_fused_stateful_glcm_matches_batch.
 
     # --- batch operator suite (driver tables at this sf) --------------------
     registry = qmod.QUERIES

@@ -162,17 +162,15 @@ def binary_views(arr: pa.Array) -> list[np.ndarray]:
     return [data[offs[i]:offs[i + 1]] for i in range(len(arr))]
 
 
-def _featurize_split_batches(it: Iterator[pa.RecordBatch]
-                             ) -> Iterator[pa.RecordBatch]:
-    """mapInArrow body: split rows in, feature rows out.
+def _iter_split_rows(it: Iterator[pa.RecordBatch]):
+    """Shared mapInArrow read loop: split rows in, (batch, html views,
+    epoch-µs event time) out.
 
     Reads each row group with pyarrow (single-threaded: parallelism is
     across Spark tasks, one python worker per core) in ARROW_MAX_RECORDS
     sub-batches so worker memory stays bounded regardless of row-group
-    size, then runs the batched GLCM kernel on zero-copy views.
+    size; html surfaces as zero-copy views.
     """
-    from . import kernel  # worker-side import
-
     cols = ["url", "warc_ts", "lang", "html"]
     for mb in it:
         paths = mb.column("path").to_pylist()
@@ -183,7 +181,6 @@ def _featurize_split_batches(it: Iterator[pa.RecordBatch]
                                          row_groups=[rg], columns=cols,
                                          use_threads=False):
                 views = binary_views(batch.column("html"))
-                feats = kernel.featurize_htmls(views)
                 # normalize to µs FIRST: pyarrow surfaces parquet
                 # timestamps at their native resolution (Spark-written
                 # files read as timestamp[ns]); a bare int64 cast of ns
@@ -191,11 +188,45 @@ def _featurize_split_batches(it: Iterator[pa.RecordBatch]
                 ts_us = (batch.column("warc_ts")
                          .cast(pa.timestamp("us"))
                          .cast(pa.int64()))
-                yield pa.RecordBatch.from_arrays(
-                    [batch.column("url"), ts_us, batch.column("lang"),
-                     *[pa.array(feats[n], type=pa.float64())
-                       for n in _FEATS]],
-                    names=["url", "warc_ts_us", "lang", *_FEATS])
+                yield batch, views, ts_us
+
+
+def _featurize_split_batches(it: Iterator[pa.RecordBatch]
+                             ) -> Iterator[pa.RecordBatch]:
+    """mapInArrow body: split rows in, feature rows out."""
+    from . import kernel  # worker-side import
+
+    for batch, views, ts_us in _iter_split_rows(it):
+        feats = kernel.featurize_htmls(views)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("url"), ts_us, batch.column("lang"),
+             *[pa.array(feats[n], type=pa.float64())
+               for n in _FEATS]],
+            names=["url", "warc_ts_us", "lang", *_FEATS])
+
+
+# gvec = the flattened L² GLCM count vector, packed little-endian uint32
+# (state.py's state-exchange wire format)
+GVEC_OUT_DDL = "url string, warc_ts_us long, lang string, gvec binary"
+
+
+def _gvec_split_batches(it: Iterator[pa.RecordBatch]
+                        ) -> Iterator[pa.RecordBatch]:
+    """mapInArrow body: split rows in, per-doc packed GLCM count vectors
+    out — the stateful-accumulation input, produced without the html
+    ever entering the JVM (the classic path ships page bytes through
+    parquet-decode-on-heap + Arrow + socket before glcm_vec_udf sees
+    them; here the kernel reads its own row group)."""
+    from . import kernel  # worker-side import
+
+    for batch, views, ts_us in _iter_split_rows(it):
+        flat = kernel.glcm_counts_htmls(views) \
+            .reshape(len(views), -1).astype("<u4")
+        gvec = pa.array([flat[i].tobytes() for i in range(len(views))],
+                        type=pa.binary())
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("url"), ts_us, batch.column("lang"), gvec],
+            names=["url", "warc_ts_us", "lang", "gvec"])
 
 
 def _features_df(splits_df: DataFrame) -> DataFrame:
@@ -237,6 +268,28 @@ def fused_features_stream(spark: SparkSession, pages_dir: str,
     sdf = r.parquet(manifest_dir)
     sdf = sdf.repartition(parallelism or config.SHUFFLE_PARTITIONS * 4)
     return _features_df(sdf)
+
+
+def fused_gvec_stream(spark: SparkSession, pages_dir: str,
+                      manifest_dir: str,
+                      max_files_per_trigger: int | None = 1,
+                      parallelism: int | None = None,
+                      files_per_manifest: int = 1) -> DataFrame:
+    """Streaming fused scan emitting per-doc gvec rows for the stateful
+    path (state.stateful_glcm_agg_fused): same manifest-log WAL and
+    split fan-out as fused_features_stream, but the worker emits the
+    packed count vector instead of reduced features so the state stage
+    can keep accumulating across micro-batches."""
+    write_split_manifests(pages_dir, manifest_dir, files_per_manifest)
+    r = spark.readStream.schema(SPLIT_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    sdf = r.parquet(manifest_dir)
+    sdf = sdf.repartition(parallelism or config.SHUFFLE_PARTITIONS * 4)
+    out = sdf.mapInArrow(_gvec_split_batches, GVEC_OUT_DDL)
+    return out.select(
+        "url", F.timestamp_micros("warc_ts_us").alias("warc_ts"), "lang",
+        "gvec")
 
 
 def write_hand_manifests(pages_dir: str, manifest_dir: str,

@@ -1525,6 +1525,40 @@ def streaming_stateful_glcm(spark, sf_dir):
                           for c in config.HARALICK_FEATURES])
 
 
+@register("streaming_stateful_glcm_fused")  # rows-only: GLCM not SQL-expressible
+def streaming_stateful_glcm_fused(spark, sf_dir):
+    """The no-html-in-JVM stateful pipeline: manifest-log stream ->
+    worker-side row-group read + per-doc gvec (fused.fused_gvec_stream)
+    -> watermarked stateful co-occurrence accumulation. Same state
+    stage as streaming_stateful_glcm; tests pin exact equality with the
+    batch oracle (test_fused_stateful_glcm_matches_batch)."""
+    from pyspark.sql import Window as W
+
+    from . import fused, state as state_mod
+    ensure_pyfiles(spark)
+    _ensure_session_confs(spark)
+    pages_dir = _derived_pages_dir(spark, sf_dir)
+    mdir = pages_dir + "_manifests"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_statefused_")
+    gvecs = fused.fused_gvec_stream(spark, pages_dir, mdir,
+                                    max_files_per_trigger=8,
+                                    parallelism=16)
+    out = state_mod.stateful_glcm_agg_fused(gvecs)
+    qname = f"statefq_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = W.partitionBy("lang", "host", "window_start") \
+         .orderBy(F.desc("n_docs"))
+    final = (spark.table(qname)
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn", "n_batches"))
+    return final.select("lang", "host", "window_start", "n_docs",
+                        *[F.round(c, 4).alias(c)
+                          for c in config.HARALICK_FEATURES])
+
+
 @register("stream_static_join", f"""
 WITH {plan.PAGES_SQL_CTE}
 SELECT d.source AS source, count(*) AS n_pages,

@@ -164,6 +164,36 @@ def stateful_glcm_agg(pages_stream: DataFrame,
                                     STATE_SCHEMA, "update", timeout))
 
 
+def stateful_glcm_agg_fused(gvec_stream: DataFrame,
+                            window: str = config.TUMBLING_WINDOW,
+                            watermark: str = config.WATERMARK_DELAY,
+                            timeout: str = GroupStateTimeout.EventTimeTimeout
+                            ) -> DataFrame:
+    """Stateful accumulation over a fused gvec stream
+    (fused.fused_gvec_stream): rows already carry the packed per-doc
+    count vector — computed inside the worker-side row-group read, so
+    page bytes never enter the JVM on this path either. The state stage
+    is byte-identical to stateful_glcm_agg's (same accumulate_glcm, same
+    schemas), making the two paths a pure execution-strategy fork.
+
+    When to choose which (measured, local[32], 55k-doc fixture): with
+    small pages the two are within host noise of each other (classic
+    13.6-21.8s vs fused 15.7-17.9s) because the fixed 4 KiB gvec leaving
+    the python worker costs about what the small html costs entering it;
+    the fused path pays off when page bytes >> 4 KiB (real web crawls at
+    50-100 KiB/doc), where the classic path's html-through-Arrow pipe is
+    the scaling ceiling (see fused.py module docstring)."""
+    keyed = (gvec_stream
+             .withWatermark("warc_ts", watermark)
+             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("window_start",
+                         F.window("warc_ts", window).start)
+             .select("lang", "host", "window_start", "gvec", "warc_ts"))
+    return (keyed.groupBy("lang", "host", "window_start")
+            .applyInPandasWithState(accumulate_glcm, OUTPUT_SCHEMA,
+                                    STATE_SCHEMA, "update", timeout))
+
+
 def batch_glcm_agg(pages: DataFrame) -> DataFrame:
     """Batch oracle for the stateful path: same keys, GLCM summed per key
     with applyInPandas (no state). Must agree exactly with the streaming

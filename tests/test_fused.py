@@ -99,6 +99,43 @@ def test_fused_stream_windowed_equals_classic_stream(spark, pages_rg_dir):
                                    rtol=1e-12)
 
 
+def test_fused_stateful_glcm_matches_batch(spark, pages_rg_dir):
+    """The fused gvec stream feeding the state stage must reproduce the
+    batch oracle exactly — same kernel, same bytes, same accumulation —
+    proving the no-html-in-JVM stateful path is a pure execution-
+    strategy change."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    from glcmstream import state
+
+    mdir = os.path.join(SCRATCH, "pages_fused_600_manifests3")
+    shutil.rmtree(mdir, ignore_errors=True)
+    ckpt = os.path.join(SCRATCH, "ckpt_fused_stateful")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    gvecs = fused.fused_gvec_stream(spark, pages_rg_dir, mdir,
+                                    max_files_per_trigger=2,
+                                    parallelism=8)
+    out = state.stateful_glcm_agg_fused(gvecs)
+    q = (out.writeStream.format("memory").queryName("fused_stateful")
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = W.partitionBy("lang", "host", "window_start") \
+         .orderBy(F.desc("n_docs"))
+    got = (spark.table("fused_stateful")
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1).drop("_rn", "n_batches"))
+    exp = state.batch_glcm_agg(
+        stream.read_pages_batch(spark, pages_rg_dir)).drop("n_batches")
+    g = got.toPandas().sort_values(
+        ["lang", "host", "window_start"]).reset_index(drop=True)
+    e = exp.toPandas().sort_values(
+        ["lang", "host", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+    assert g["n_docs"].sum() == 660
+
+
 def test_fused_stream_resumes_from_checkpoint(spark, pages_rg_dir):
     """Kill after the first micro-batch; restart must process exactly the
     remaining manifests (file-source WAL semantics carry over)."""
