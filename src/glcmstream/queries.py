@@ -1784,6 +1784,37 @@ def tfidf_top_terms(spark, sf_dir):
                     "rn"))
 
 
+@register("ntok_quantiles", """
+WITH toks AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+  FROM documents)
+SELECT lang,
+       round(quantile_cont(ntok, 0.25), 4) AS p25,
+       round(quantile_cont(ntok, 0.50), 4) AS p50,
+       round(quantile_cont(ntok, 0.75), 4) AS p75,
+       round(quantile_cont(ntok, 0.95), 4) AS p95,
+       count(*) AS n_docs
+FROM toks GROUP BY lang
+""")
+def ntok_quantiles(spark, sf_dir):
+    """Per-lang document-length distribution: EXACT linearly-interpolated
+    quantiles (Spark `percentile` == DuckDB `quantile_cont`, both the
+    type-7 definition) over the token count. The exact form is the
+    correctness anchor for the approx_percentile variant a 100 TB run
+    would use; at scale the same plan swaps percentile ->
+    approx_percentile (t-digest, mergeable map-side) with no shape
+    change."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+        .alias("ntok"))
+    return toks.groupBy("lang").agg(
+        *[F.round(F.percentile("ntok", F.lit(p)), 4).alias(f"p{int(p*100)}")
+          for p in (0.25, 0.50, 0.75, 0.95)],
+        F.count(F.lit(1)).alias("n_docs"))
+
+
 @register("heavy_hitters_hosts", f"""
 WITH {plan.PAGES_SQL_CTE},
 hosted AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host
@@ -1887,7 +1918,7 @@ _CHECK_MID = [
     "jaccard_word_pairs", "minhash_lsh_dedup", "simhash_near_pairs",
     "ann_topk_cosine", "ivf_cell_counts", "ivf_topk_cosine",
     "ann_lsh_pairs", "multimodal_metadata", "multimodal_resize",
-    "multimodal_frame_sample", "extract_text_invariant",
+    "extract_text_invariant",
     "glcm_lang_profile", "rendertile_profile", "udtf_token_explode",
     "cogrouped_user_funnel", "iceberg_scan_pages", "iceberg_stream_scan",
     "salted_host_agg",
@@ -1901,7 +1932,7 @@ _CHECK_LAST = [
     "semi_join_suppliers", "outer_join_order_histogram",
     "string_fns_hosts", "embedding_norms", "cosine_to_v0",
     "doc_fingerprints", "simhash_buckets", "dedup_exact_docs",
-    "text_quality",
+    "text_quality", "multimodal_frame_sample",
 ]
 
 
