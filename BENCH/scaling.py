@@ -167,6 +167,28 @@ def main() -> None:
                   file=sys.stderr)
     calib_post = machine_calibration(pages_dir)
     print(f"calib post: {calib_post}", file=sys.stderr)
+    # validity gate AFTER the legs too: a window where the no-Spark pool
+    # itself stopped scaling (post ceiling < CEILING_MIN), or where the
+    # two calibrations disagree wildly (host load shifted mid-run),
+    # cannot certify OR refute the engine — abort WITHOUT rewriting
+    # BASELINE.md so the last valid record stands. (A degraded window
+    # once overwrote a PASS record with efficiency 0.343 while the post
+    # ceiling read 0.787 — the machine, not the engine.)
+    pre_c, post_c = calib_pre["ceiling"], calib_post["ceiling"]
+    unstable = max(pre_c, post_c) > 1.5 * min(pre_c, post_c)
+    if (post_c < CEILING_MIN or unstable) and \
+            not os.environ.get("GLCM_ALLOW_DEGRADED"):
+        print(json.dumps({"aborted": "degraded/unstable host window",
+                          "calib_pre": calib_pre, "calib_post": calib_post,
+                          "samples": {c: [(r["docs_per_sec"],
+                                           r["steal_pct"])
+                                          for r in samples[c]]
+                                      for c in LEGS},
+                          "hint": "pool ceiling collapsed or shifted "
+                                  "mid-run; BASELINE.md left untouched — "
+                                  "rerun when stable, or set "
+                                  "GLCM_ALLOW_DEGRADED=1"}))
+        sys.exit(3)
 
     med = {c: statistics.median(r["docs_per_sec"] for r in samples[c])
            for c in LEGS}
