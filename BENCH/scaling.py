@@ -39,6 +39,9 @@ N_DOCS = int(os.environ.get("GLCM_SCALE_DOCS", "480000"))
 LEGS = (8, 32)
 REPS = 3
 STEAL_MAX = 4.0  # % of the leg window stolen by the hypervisor
+# max allowed max/min docs_per_sec ratio across a parallelism's reps —
+# beyond this the window is unrepeatable and cannot be published
+REP_SPREAD_MAX = float(os.environ.get("GLCM_REP_SPREAD_MAX", "1.4"))
 # a window where even the no-Spark pool scales below this cannot certify
 # (or refute) 4x scaling — the MACHINE doesn't offer it; rerun later
 CEILING_MIN = float(os.environ.get("GLCM_CEILING_MIN", "0.8"))
@@ -124,16 +127,24 @@ def machine_calibration(pages_dir: str) -> dict:
     _CALIB_SPLITS = [(p, rg) for p, rg, _ in splits[:512]]
 
     def rate(nproc: int) -> float:
+        # best-of-2 passes inside one pool: single 8-proc pass rates
+        # swing +-2x across minutes on this host (bursty steal /
+        # turbo); the faster pass is the closer estimate of what the
+        # machine OFFERS (the ceiling), which is what legs are judged
+        # against
         os.sched_setaffinity(0, range(nproc))
         try:
             with mproc.Pool(nproc) as pool:
                 pool.map(_calib_work, _CALIB_SPLITS[:nproc * 2])  # warm
-                t0 = time.time()
-                n = sum(pool.map(_calib_work, _CALIB_SPLITS, chunksize=1))
-                wall = time.time() - t0
+                best = 0.0
+                for _ in range(2):
+                    t0 = time.time()
+                    n = sum(pool.map(_calib_work, _CALIB_SPLITS,
+                                     chunksize=1))
+                    best = max(best, n / (time.time() - t0))
         finally:
             os.sched_setaffinity(0, range(os.cpu_count()))
-        return n / wall
+        return best
 
     r8 = rate(8)
     r32 = rate(32)
@@ -176,9 +187,21 @@ def main() -> None:
     # ceiling read 0.787 — the machine, not the engine.)
     pre_c, post_c = calib_pre["ceiling"], calib_post["ceiling"]
     unstable = max(pre_c, post_c) > 1.5 * min(pre_c, post_c)
-    if (post_c < CEILING_MIN or unstable) and \
+    # repeatability gate: the same job at the same parallelism must
+    # reproduce within REP_SPREAD_MAX across the interleaved reps, or
+    # the quantity being measured (host throughput) changed mid-
+    # experiment — this host shows 2x swings at ZERO steal (memory-
+    # bandwidth contention the steal counter cannot see), which cross-
+    # pairs the medians into a number that measures the neighbor VM.
+    spread = {c: (max(r["docs_per_sec"] for r in samples[c])
+                  / min(r["docs_per_sec"] for r in samples[c]))
+              for c in LEGS}
+    unrepeatable = any(s > REP_SPREAD_MAX for s in spread.values())
+    if (post_c < CEILING_MIN or unstable or unrepeatable) and \
             not os.environ.get("GLCM_ALLOW_DEGRADED"):
         print(json.dumps({"aborted": "degraded/unstable host window",
+                          "rep_spread": {c: round(s, 2)
+                                         for c, s in spread.items()},
                           "calib_pre": calib_pre, "calib_post": calib_post,
                           "samples": {c: [(r["docs_per_sec"],
                                            r["steal_pct"])
