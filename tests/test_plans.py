@@ -82,6 +82,28 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert "NestedLoop" not in s, "bucketed range join degenerated to NLJ"
 
 
+def test_corpus_clean_never_shuffles_text(spark):
+    """corpus_clean_stats' scale claim: the text is md5-fingerprinted
+    BEFORE the dedup shuffle, so no Exchange input carries the text
+    column — only (doc_id, lang, ts, ntok, 32B hash) rows move."""
+    s = _executed(queries.QUERIES["corpus_clean_stats"](spark, SF))
+    for frag in s.split("Exchange")[1:]:
+        # the attribute list printed on the Exchange line itself
+        line = frag.splitlines()[0]
+        assert "text" not in line, f"text crosses a shuffle: {line}"
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """heavy_hitters' scale claims: candidates broadcast (never a
+    shuffle join against the full input), the verify phase is a single
+    ROLLUP aggregation (Expand), and no NestedLoop anywhere."""
+    s = _executed(queries.QUERIES["heavy_hitters_hosts"](spark, SF))
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" not in s
+    assert "Broadcast" in s, "candidate set must broadcast"
+    assert "Expand" in s, "rollup (counts + grand total in one agg) gone"
+    assert "SortMergeJoin" not in s, "candidate join degenerated to SMJ"
+
+
 def test_no_per_row_python_udf_lint():
     """BASELINE.json:15: vectorized pandas/Arrow UDFs only — no
     row-at-a-time @udf anywhere in the engine source."""
