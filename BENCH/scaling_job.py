@@ -80,6 +80,20 @@ def main() -> None:
     n_docs_actual = sum(s[2] for s in fused.plan_splits(pages_dir))
     assert n_docs_actual == n_pages, (n_docs_actual, n_pages)
 
+    # fixed per-epoch cost probe: the availableNow drain pays an O(1)
+    # cost per epoch (offset WAL + batch planning + opening the 32
+    # RocksDB state partitions + commit, ~3s) that is paid once per
+    # backlog restart in production — it is NOT a per-doc cost, and at a
+    # 10^12-doc backlog it vanishes, but at this fixture size it
+    # Amdahl-punishes the 4N leg 4x harder than the N leg. Measure it
+    # per leg by a two-point linear fit over 1-file and 4-file epochs
+    # (w(n) = F + k*n -> F = w1 - (w4 - w1)/3) so the report can give
+    # BOTH raw and marginal (per-doc) efficiency.
+    w1 = min(_probe_epoch(spark, mode, _subset(pages_dir, 1), 8, cpus, i)
+             for i in range(2))
+    w4 = _probe_epoch(spark, mode, _subset(pages_dir, 4), 16, cpus, 2)
+    fixed_sec = max(0.0, w1 - (w4 - w1) / 3)
+
     cpu0 = _cpu_snap()
     t0 = time.perf_counter()
     # single availableNow batch: a crawl backlog processed as one epoch —
@@ -103,10 +117,33 @@ def main() -> None:
     print(json.dumps({
         "cpus": cpus, "mode": mode, "wall_sec": round(wall, 2),
         "docs_per_sec": round(rows / wall, 1),
+        "fixed_sec": round(fixed_sec, 2),
+        "marginal_docs_per_sec": round(rows / max(wall - fixed_sec, 1e-9),
+                                       1),
         "steal_pct": cpu["steal_pct"],
         "busy_pct": cpu["busy_pct"],
         "state_checksum": checksum,
     }))
+
+
+def _probe_epoch(spark, mode: str, sub_dir: str, hands: int, cpus: int,
+                 idx: int) -> float:
+    """Wall time of one tiny availableNow epoch (fresh checkpoint), for
+    the fixed-cost fit."""
+    os.environ["GLCM_FUSED_TASKS"] = str(hands)
+    try:
+        ck = os.path.join(REPO, ".scratch", f"probe_ckpt_{cpus}_{idx}")
+        shutil.rmtree(ck, ignore_errors=True)
+        agg = _job(spark, mode, sub_dir, None, cpus)
+        t0 = time.perf_counter()
+        q = (agg.writeStream.outputMode("update")
+             .foreachBatch(lambda df, eid: df.count())
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return time.perf_counter() - t0
+    finally:
+        os.environ.pop("GLCM_FUSED_TASKS", None)
 
 
 def _job(spark, mode: str, pages_dir: str,
