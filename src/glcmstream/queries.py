@@ -1559,6 +1559,96 @@ def streaming_stateful_glcm_fused(spark, sf_dir):
                           for c in config.HARALICK_FEATURES])
 
 
+def _derived_pages_cdc_dir(spark, sf_dir) -> str:
+    """Materialize the derived pages (minus html) as 4 time-ordered
+    parquet files with strictly-increasing whole-second mtimes, so a
+    file stream replays them as 4 micro-batches in event-time order
+    (the mtime-tie landmine makes an unsorted directory replay
+    nondeterministically — CLAUDE.md)."""
+    import hashlib
+    import os
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch",
+        "qcdc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        _ensure_session_confs(spark)
+        pdf = (plan.pages_from_documents(spark, sf_dir).drop("html")
+               .orderBy("warc_ts", "doc_id").toPandas())
+        # pandas defaults to ns precision; Spark's parquet reader
+        # rejects TIMESTAMP(NANOS)
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+        os.makedirs(out, exist_ok=True)
+        n = len(pdf)
+        base_mtime = int(_time.time()) - 3600
+        for i in range(4):
+            chunk = pdf.iloc[i * n // 4:(i + 1) * n // 4]
+            p = os.path.join(out, f"part-{i:04d}.parquet")
+            pq.write_table(pa.Table.from_pandas(chunk,
+                                                preserve_index=False), p)
+            os.utime(p, (base_mtime + i, base_mtime + i))
+        open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+@register("streaming_cdc_upsert", f"""
+WITH {plan.PAGES_SQL_CTE},
+latest AS (
+  SELECT url, lang, warc_ts,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC) AS rn
+  FROM pages)
+SELECT lang, count(*) AS n_urls,
+       CAST(sum(epoch_us(warc_ts)) AS BIGINT) AS ts_sum
+FROM latest WHERE rn = 1 GROUP BY lang
+""")
+def streaming_cdc_upsert(spark, sf_dir):
+    """Streaming CDC upsert: a micro-batch stream of page (re)crawls is
+    MERGEd into an IcebergLite table keyed by url via foreachBatch —
+    each batch is deduped to its latest row per url (JVM-side window)
+    and committed with merge_commit, so later crawls shadow earlier
+    ones across epochs; read_latest resolves the shadow map. The oracle
+    is the declarative latest-crawl-per-url — proving streaming MERGE
+    keeps exactly the newest version of every key. Scale shape: the
+    shadow map is delta-sized (key, max merge epoch), and each epoch's
+    dedup shuffles only (url, ts) pairs."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from pyspark.sql import Window as W
+
+    from .sink import IcebergLiteTable
+    _ensure_session_confs(spark)
+    cdc_dir = _derived_pages_cdc_dir(spark, sf_dir)
+    schema = spark.read.parquet(cdc_dir).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(cdc_dir))
+    table = IcebergLiteTable(_tf.mkdtemp(prefix="cdc_tbl_"))
+
+    def fb(batch_df, epoch_id):
+        w = W.partitionBy("url").orderBy(F.desc("warc_ts"),
+                                         F.desc("doc_id"))
+        latest = (batch_df.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        table.merge_commit(latest, int(epoch_id), key_col="url")
+
+    ckpt = _tf.mkdtemp(prefix=f"ckpt_cdc_{_uuid.uuid4().hex[:8]}_")
+    q = (sdf.writeStream.foreachBatch(fb)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (table.read_latest(spark, "url")
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.sum(F.unix_micros("warc_ts")).cast("bigint")
+                 .alias("ts_sum")))
+
+
 @register("stream_static_join", f"""
 WITH {plan.PAGES_SQL_CTE}
 SELECT d.source AS source, count(*) AS n_pages,
@@ -1815,6 +1905,33 @@ def ntok_quantiles(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"))
 
 
+@register("stratified_sample", """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang, rn FROM ranked WHERE rn <= 50
+""")
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-lang stratified sample of exactly 50 docs: rank
+    by a PORTABLE content hash (md5 of the stringified id — identical
+    bytes-in, hex-out in Spark and DuckDB, unlike xxhash64/hash whose
+    algorithms differ between engines) so the sample is reproducible
+    across engines and runs. Scale shape: only (doc_id, lang, 32B hash)
+    rows shuffle for the per-stratum rank; at 10^12 docs the same
+    semantics run as per-partition top-50 heaps merged per stratum
+    (Spark's window TopK pushdown handles rn<=k without full sort
+    materialization)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    return (d.select("doc_id", "lang")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 50))
+
+
 @register("heavy_hitters_hosts", f"""
 WITH {plan.PAGES_SQL_CTE},
 hosted AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host
@@ -1910,7 +2027,6 @@ _CHECK_FIRST = [
     "approx_distinct_parts",
 ]
 _CHECK_MID = [
-    "pricing_summary", "filter_pushdown_part",
     "join_broadcast_region", "revenue_by_priority",
     "asof_join_click_purchase", "range_join_event_pairs",
     "recrawl_interval_join", "map_json_props",
@@ -1932,7 +2048,8 @@ _CHECK_LAST = [
     "semi_join_suppliers", "outer_join_order_histogram",
     "string_fns_hosts", "embedding_norms", "cosine_to_v0",
     "doc_fingerprints", "simhash_buckets", "dedup_exact_docs",
-    "text_quality", "multimodal_frame_sample",
+    "text_quality", "multimodal_frame_sample", "pricing_summary",
+    "filter_pushdown_part",
 ]
 
 
