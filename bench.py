@@ -156,7 +156,8 @@ def main() -> None:
                  "streaming_tumbling_events", "iceberg_scan_pages",
                  "map_json_props", "streaming_session_pages",
                  "heavy_hitters_hosts", "corpus_clean_stats",
-                 "tfidf_top_terms"]:
+                 "tfidf_top_terms", "ntok_quantiles", "stratified_sample",
+                 "streaming_cdc_upsert"]:
         t0 = time.perf_counter()
         registry[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
