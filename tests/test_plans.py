@@ -104,6 +104,21 @@ def test_heavy_hitters_plan_shape(spark):
     assert "SortMergeJoin" not in s, "candidate join degenerated to SMJ"
 
 
+def test_stratified_sample_rank_limit_pushed_down(spark):
+    """stratified_sample's scale claim: Spark's WindowGroupLimit runs a
+    PARTIAL top-50 per stratum map-side, before the exchange — only
+    <=50 rows per lang per scan partition shuffle, so a 5-strata key
+    set never becomes a 5-reducer sort bottleneck."""
+    s = _executed(queries.QUERIES["stratified_sample"](spark, SF))
+    partial = s.index("WindowGroupLimit")
+    assert "Partial" in s or "Final" in s
+    # a Partial WindowGroupLimit must appear below the Exchange
+    # (later in text order = earlier in execution)
+    assert "Partial" in s[s.index("Exchange"):], \
+        "map-side rank limit missing — full strata shuffle"
+    assert partial >= 0
+
+
 def test_no_per_row_python_udf_lint():
     """BASELINE.json:15: vectorized pandas/Arrow UDFs only — no
     row-at-a-time @udf anywhere in the engine source."""
