@@ -25,6 +25,17 @@ the purchase's timestamp qualifies (SQL: c.ts <= p.ts, closed) while an
 error at the click's or purchase's timestamp does not block (SQL:
 strictly between, open interval). With that ordering the match test
 reduces to `last_error <= last_click`.
+
+Finalization boundaries (round-3 verdict #7 / advice #2): data batches
+finalize only events STRICTLY below the watermark — a row with
+ts == watermark is still admissible in later batches, so finalizing it
+early could match-miss an equal-timestamp peer; the flush timeout
+finalizes through the END of the watermark's ms-truncated millisecond
+(required for a delay-0 drain, whose final watermark is the max event
+time truncated to ms). The residual tie window is therefore peers
+landing inside the watermark's own millisecond after a timeout flush —
+bounded at 1 ms (previously the timeout flushed the entire buffer,
+including arbitrarily-far-future events).
 """
 
 from __future__ import annotations
@@ -92,40 +103,50 @@ def match_pattern(key, pdfs: Iterator[pd.DataFrame],
     wm_us = wm_ms * 1000
 
     if state.hasTimedOut:
-        # flush timeout fired: the watermark has passed the buffered
-        # suffix (to within the ms truncation of Spark's watermark —
-        # events closer than 1 ms to the tail may finalize marginally
-        # early; ordering is guaranteed for events separated by more
-        # than the watermark delay + 1 ms). Match it all in event-time
-        # order, then keep only a still-matchable click.
-        order = np.lexsort((buf_code, buf_ts))
-        last_click, last_error = _match_run(
-            [buf_ts[i] for i in order], [buf_code[i] for i in order],
-            uid, last_click, last_error, out)
-        keep_ts, keep_code = [], []
+        # Flush timeout fired: finalize only events at or below the END
+        # of the watermark's (ms-truncated) millisecond. The watermark's
+        # true microsecond value lies in [wm_ms, wm_ms+1) ms, so this
+        # boundary is what lets a delay-0 drain finalize the max-event-
+        # time row (which may sit sub-ms above wm_us); events in a
+        # STRICTLY LATER millisecond stay buffered and re-arm — they
+        # could still gain same- or earlier-timestamp peers from later
+        # batches (Spark admits rows with ts >= watermark), and flushing
+        # them here is how a peer could finalize ahead of them (round-3
+        # verdict #7). Residual tie window: peers landing inside the
+        # watermark's own millisecond after this flush — 1 ms, down from
+        # the previous unbounded flush-everything.
+        fin_limit = (wm_ms + 1) * 1000
     else:
         for pdf in pdfs:
             if len(pdf):
                 buf_ts.extend(int(t) for t in pdf["ts_us"])
                 buf_code.extend(_CODE.get(e, 3) for e in pdf["event_type"])
-        # finalize the <= watermark prefix in event-time order; buffer
-        # the rest for a later batch or the flush timeout
-        order = np.lexsort((buf_code, buf_ts))
-        fin_ts, fin_code, keep_ts, keep_code = [], [], [], []
-        for i in order:
-            if buf_ts[i] <= wm_us:
-                fin_ts.append(buf_ts[i])
-                fin_code.append(buf_code[i])
-            else:
-                keep_ts.append(buf_ts[i])
-                keep_code.append(buf_code[i])
-        last_click, last_error = _match_run(fin_ts, fin_code, uid,
-                                            last_click, last_error, out)
+        # Finalize the strictly-below-watermark prefix in event-time
+        # order; buffer the rest for a later batch or the flush timeout.
+        # Strict `<`: a row with ts == watermark is still admissible in
+        # a later batch (Spark's late filter drops only ts < wm), so an
+        # ==-watermark event finalizing now could miss an equal-ts click
+        # arriving next batch (round-3 advice). No liveness cost — the
+        # kept suffix flushes via the timeout once the watermark passes.
+        fin_limit = wm_us
+    order = np.lexsort((buf_code, buf_ts))
+    fin_ts, fin_code, keep_ts, keep_code = [], [], [], []
+    for i in order:
+        if buf_ts[i] < fin_limit:
+            fin_ts.append(buf_ts[i])
+            fin_code.append(buf_code[i])
+        else:
+            keep_ts.append(buf_ts[i])
+            keep_code.append(buf_code[i])
+    last_click, last_error = _match_run(fin_ts, fin_code, uid,
+                                        last_click, last_error, out)
 
     # retention: buffered events await their flush timeout
-    # (floor-to-ms so the event carrying the max event time still fires);
-    # an empty buffer is kept only while the last click could still match
-    # a future purchase, armed to self-evict when its window expires.
+    # (floor-to-ms so the event carrying the max event time still fires
+    # on a delay-0 drain, whose watermark equals the max event time
+    # ms-truncated); an empty buffer is kept only while the last click
+    # could still match a future purchase, armed to self-evict when its
+    # window expires.
     click_alive = last_click >= 0 and last_click + WINDOW_US > wm_us
     if keep_ts:
         state.update((keep_ts, keep_code, int(last_click), int(last_error)))

@@ -1804,18 +1804,30 @@ def iceberg_compacted_scan(spark, sf_dir):
     content, so any row lost or duplicated by the rewrite hash-fails."""
     import hashlib
     import os
+    import shutil
+    import uuid as _uuid
 
     from .sink import IcebergLiteTable
     _ensure_session_confs(spark)
     tdir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".scratch",
         "qcompact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
-    table = IcebergLiteTable(tdir)
-    if not table._all_epochs():
+    # crash-safe build (round-3 advice #1): commits + compact run under a
+    # tmp dir that is atomically renamed into place only after compact()
+    # succeeds — a run that dies mid-build leaves no partial table at
+    # tdir, so the rebuild guard can key on the dir's existence alone
+    if not os.path.isdir(tdir):
+        tmp = tdir + f".tmp-{_uuid.uuid4().hex[:8]}"
+        table = IcebergLiteTable(tmp)
         pages = plan.pages_from_documents(spark, sf_dir).drop("html")
         for i in range(3):
             table.commit(pages.filter(F.col("doc_id") % 3 == i), i)
         table.compact(spark)
+        try:
+            os.rename(tmp, tdir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent build won
+    table = IcebergLiteTable(tdir)
     assert len(table.committed_epochs()) == 1  # compacted snapshot only
     return (table.read(spark).groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_pages"),

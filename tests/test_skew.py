@@ -45,6 +45,48 @@ def test_heavy_hitters_layout_independent(spark, sf_smoke):
     assert got == _brute(hosted, "host", 12)
 
 
+def test_heavy_hitters_candidates_bounded_many_batches(spark):
+    """Candidate growth is O(k x partitions), NOT O(k x batches)
+    (round-3 verdict #3): an adversarial stream of mostly-unique values
+    (each Arrow batch nominates fresh locally-heavy values) across many
+    batches per partition must still emit <= k candidates per partition,
+    while exactness holds for the planted hot keys."""
+    k, parts = 8, 4
+    n = 64_000  # 512-row Arrow batches -> ~31 batches per partition
+    df = (spark.range(n)
+          # 20% hot_a (> N/k), 15% hot_b (> N/k); rest unique
+          .withColumn("v", F.when(F.col("id") % 20 < 4, F.lit("hot_a"))
+                      .when(F.col("id") % 20 < 7, F.lit("hot_b"))
+                      .otherwise(F.concat(F.lit("u"), F.col("id"))))
+          .repartition(parts).cache())
+    try:
+        n_cands = skew.mg_candidates(df, "v", k).count()
+        assert n_cands <= k * parts, n_cands
+        got = {(r["value"], r["n"]) for r in
+               skew.heavy_hitters(df, "v", k=k).collect()}
+        assert got == _brute(df.select(F.col("v")), "v", k)
+        assert {v for v, _ in got} == {"hot_a", "hot_b"}
+    finally:
+        df.unpersist()
+
+
+def test_heavy_hitters_non_string_key_and_nulls(spark):
+    """Schema-derived candidate type (bigint key) + the documented null
+    contract: nulls are excluded and the N/k threshold is over the
+    non-null count (round-3 advice #3)."""
+    n = 4_000
+    df = (spark.range(n)
+          .withColumn("v", F.when(F.col("id") % 4 == 0, F.lit(None))
+                      .when(F.col("id") % 3 == 0, F.lit(7))
+                      .otherwise(F.col("id"))).select("v"))
+    got = {(r["value"], r["n"]) for r in
+           skew.heavy_hitters(df, "v", k=5).collect()}
+    nn = df.filter(F.col("v").isNotNull())
+    exp = _brute(nn, "v", 5)
+    assert got == exp and got  # the planted hot bigint surfaces
+    assert all(isinstance(v, int) for v, _ in got)
+
+
 def test_salted_sum_agg_matches_plain(spark, sf_smoke):
     hosted = _hosted(spark, sf_smoke).withColumn("one", F.lit(1))
     salted = {(r["host"], r["s"], r["n"]) for r in

@@ -435,6 +435,44 @@ def test_cep_state_evicted_after_watermark(spark):
     assert n_removed == 1    # u1 evicted when its window expired
 
 
+def test_cep_watermark_boundary_ties_match_in_event_time_order(spark):
+    """Events straddling a micro-batch boundary AT the watermark (spaced
+    <1 ms apart, including the exact-tie) must match in strict event-time
+    order (round-3 verdict #7 / advice #2).
+
+    u1's purchase lands at EXACTLY the watermark of batch 2 (wm is driven
+    by u8's event one watermark-delay later). The old `<=`-watermark data
+    finalize consumed that purchase in batch 2; u1's click at the same
+    timestamp then arrived in batch 3 (admissible: Spark's late filter
+    drops only ts < wm) and could never match. Strict-`<` finalization
+    keeps the purchase buffered until the watermark passes it, so the
+    late-batch click is matched ahead of it under the engine's
+    click < purchase same-µs ordering. u2 pins sub-ms spacing within one
+    batch (click 400 µs before the purchase)."""
+    src = _scratch("cep_tie_src")
+    ckpt = _scratch("cep_tie_ckpt")
+    t3ms = pd.Timedelta(microseconds=3000)     # whole-ms: survives wm
+    # batch 1: u1 purchase at T+3000µs; u8 drives the watermark to
+    # exactly T+3000µs once batch 1 is processed (delay = 1 s);
+    # u2's sub-ms-spaced pair arrives in order within the batch
+    _cep_write(src, "f1.parquet", [
+        (1, _CEP_T0 + t3ms, "purchase"),
+        (2, _CEP_T0 + pd.Timedelta(microseconds=2600), "click"),
+        (2, _CEP_T0 + t3ms, "purchase"),
+        (8, _CEP_T0 + t3ms + pd.Timedelta(seconds=1), "click"),
+    ])
+    # batch 2 (wm == T+3000µs): u1's click arrives AT the watermark —
+    # admissible, same timestamp as the already-buffered purchase
+    _cep_write(src, "f2.parquet", [(1, _CEP_T0 + t3ms, "click")])
+    # batch 3: far-future event advances the watermark past everything
+    _cep_write(src, "f3.parquet",
+               [(9, _CEP_T0 + pd.Timedelta(minutes=90), "click")])
+    got, _ = _cep_run(spark, src, ckpt, watermark="1 seconds")
+    us3 = int((_CEP_T0 + t3ms).value // 1000)
+    assert (1, us3, us3) in got          # exact-tie across the boundary
+    assert (2, us3 - 400, us3) in got    # sub-ms-spaced in-batch pair
+
+
 # ---------------------------------------------------------------------------
 # stream-stream re-crawl join + streaming dedup
 # ---------------------------------------------------------------------------
