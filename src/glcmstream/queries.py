@@ -1559,6 +1559,68 @@ def streaming_stateful_glcm_fused(spark, sf_dir):
                           for c in config.HARALICK_FEATURES])
 
 
+@register("streaming_stateful_glcm_sliding")  # rows-only: GLCM not SQL-expressible
+def streaming_stateful_glcm_sliding(spark, sf_dir):
+    """Pane-based SLIDING-window stateful GLCM accumulation (round-3
+    verdict #1): stream -> map-side gvec -> per-PANE
+    applyInPandasWithState count accumulation -> pane->window assembly
+    (each 4 KiB gvec crosses the state exchange once, not length/slide
+    times). Exactness vs the independent html-per-window batch route is
+    pinned by test_stateful_glcm_sliding_matches_batch."""
+    from pyspark.sql import Window as W
+
+    from . import state as state_mod
+    ensure_pyfiles(spark)
+    sdf = _derived_pages_stream(spark, sf_dir) \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    panes = state_mod.stateful_glcm_pane_agg(sdf)
+    qname = f"slideq_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (panes.writeStream.format("memory").queryName(qname)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = W.partitionBy("lang", "host", "pane_start") \
+         .orderBy(F.desc("n_docs"))
+    latest = (spark.table(qname)
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .select("lang", "host", "pane_start", "counts", "n_docs"))
+    final = state_mod.finalize_sliding_windows(latest)
+    return final.select(
+        "lang", "host",
+        F.unix_micros("window_start").alias("window_start_us"), "n_docs",
+        *[F.round(c, 4).alias(c) for c in config.HARALICK_FEATURES])
+
+
+@register("streaming_stateful_glcm_session")  # rows-only: GLCM not SQL-expressible
+def streaming_stateful_glcm_session(spark, sf_dir):
+    """SESSION-window stateful GLCM accumulation keyed by (lang, host)
+    (round-3 verdict #1; BASELINE.json:6 names all three window kinds):
+    open session fragments live in per-key state, update-mode emissions
+    + maximal-interval selection recover the exact final session set —
+    including sessions still open at the drain. Exactness vs the
+    independent gaps-and-islands oracle is pinned by
+    test_stateful_glcm_session_matches_batch."""
+    from . import state as state_mod
+    ensure_pyfiles(spark)
+    sdf = _derived_pages_stream(spark, sf_dir) \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    sess = state_mod.stateful_glcm_session_agg(sdf)
+    qname = f"sessglcmq_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (sess.writeStream.format("memory").queryName(qname)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    final = state_mod.final_sessions(spark.table(qname))
+    return final.select(
+        "lang", "host",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"), "n_docs",
+        *[F.round(c, 4).alias(c) for c in config.HARALICK_FEATURES])
+
+
 def _derived_pages_cdc_dir(spark, sf_dir) -> str:
     """Materialize the derived pages (minus html) as 4 time-ordered
     parquet files with strictly-increasing whole-second mtimes, so a

@@ -194,6 +194,392 @@ def stateful_glcm_agg_fused(gvec_stream: DataFrame,
                                     STATE_SCHEMA, "update", timeout))
 
 
+# ===========================================================================
+# Pane-based SLIDING-window stateful accumulation (round-3 verdict #1 /
+# SURVEY §4.2 "pane-based for sliding"; BASELINE.json:6 names tumbling,
+# sliding AND session windows for the co-occurrence accumulation)
+# ===========================================================================
+# A sliding window of length L and slide S (S divides L) is the sum of
+# L/S contiguous PANES of duration S. The GLCM count matrix is a sum
+# monoid, so accumulating per PANE and summing panes at emission is
+# exact — and each document's 4 KiB count vector crosses the state
+# exchange ONCE (keyed by its pane) instead of L/S times (the naive
+# F.window sliding duplication), which at 100 TB is the difference
+# between one corpus-sized exchange and L/S of them.
+
+PANE_OUTPUT_SCHEMA = StructType([
+    StructField("lang", StringType()),
+    StructField("host", StringType()),
+    StructField("pane_start", TimestampType()),
+    StructField("counts", BinaryType()),
+    StructField("n_docs", LongType()),
+    StructField("n_batches", LongType()),
+])
+
+SLIDING_OUTPUT_SCHEMA = StructType([
+    StructField("lang", StringType()),
+    StructField("host", StringType()),
+    StructField("window_start", TimestampType()),
+    StructField("n_docs", LongType()),
+    *[StructField(n, DoubleType()) for n in config.HARALICK_FEATURES],
+])
+
+
+def accumulate_glcm_pane(key, pdfs: Iterator[pd.DataFrame],
+                         state: GroupState) -> Iterator[pd.DataFrame]:
+    """Pane state function: identical accumulation to accumulate_glcm
+    (same packed-int64 state, same map-side uint32 gvec input), but the
+    emission is the pane's RUNNING COUNT VECTOR, not features — features
+    are a nonlinear function of counts, so the pane->window sum must
+    happen on counts and features are computed once per assembled
+    window (finalize_sliding_windows)."""
+    lang, host, pane_start = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        counts_buf, n_docs, n_batches = state.get
+        counts = np.frombuffer(counts_buf, dtype="<i8").copy()
+    else:
+        counts = np.zeros(L2, dtype=np.int64)
+        n_docs = 0
+        n_batches = 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        vecs = np.frombuffer(b"".join(pdf["gvec"]), dtype="<u4") \
+            .reshape(len(pdf), L2)
+        counts += vecs.sum(axis=0, dtype=np.int64)
+        n_docs += len(pdf)
+        n_batches += 1
+    packed = counts.astype("<i8").tobytes()
+    state.update((packed, int(n_docs), int(n_batches)))
+    try:
+        wm = state.getCurrentWatermarkMs()
+        target = int(pd.Timestamp(pane_start).value // 1_000_000) \
+            + 3_600_000
+        state.setTimeoutTimestamp(max(target, wm + 3_600_000))
+    except Exception:
+        pass  # NoTimeout config (batch-style tests)
+    yield pd.DataFrame([{
+        "lang": lang, "host": host, "pane_start": pane_start,
+        "counts": packed, "n_docs": int(n_docs),
+        "n_batches": int(n_batches)}])
+
+
+def stateful_glcm_pane_agg(pages_stream: DataFrame,
+                           slide: str = config.SLIDING_WINDOW[1],
+                           watermark: str = config.WATERMARK_DELAY,
+                           timeout: str = GroupStateTimeout.EventTimeTimeout
+                           ) -> DataFrame:
+    """pages stream -> per-(lang, host, PANE) incrementally accumulated
+    GLCM count vectors (update mode; the memory/table sink keeps the
+    latest emission per pane key). A pane is the tumbling window of the
+    SLIDE duration, so the pane key is just F.window(ts, slide).start —
+    the same stateful machinery as the tumbling path, emitting counts."""
+    keyed = (pages_stream
+             .withWatermark("warc_ts", watermark)
+             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("pane_start",
+                         F.window("warc_ts", slide).start)
+             .withColumn("gvec", glcm_vec_udf()("html"))
+             .select("lang", "host", "pane_start", "gvec", "warc_ts"))
+    return (keyed.groupBy("lang", "host", "pane_start")
+            .applyInPandasWithState(accumulate_glcm_pane,
+                                    PANE_OUTPUT_SCHEMA, STATE_SCHEMA,
+                                    "update", timeout))
+
+
+def _duration_us(spec: str) -> int:
+    n, unit = spec.split()
+    mult = {"second": 1_000_000, "seconds": 1_000_000,
+            "minute": 60_000_000, "minutes": 60_000_000,
+            "hour": 3_600_000_000, "hours": 3_600_000_000}[unit]
+    return int(n) * mult
+
+
+def finalize_sliding_windows(panes: DataFrame,
+                             length: str = config.SLIDING_WINDOW[0],
+                             slide: str = config.SLIDING_WINDOW[1]
+                             ) -> DataFrame:
+    """Latest-per-pane count vectors -> sliding-window features: each
+    pane belongs to exactly length/slide windows (window_start =
+    pane_start - i*slide), so the expansion shuffles L/S copies of each
+    8 KiB PANE row (pane cardinality ~ key-count, not doc-count) and one
+    applyInPandas per (lang, host, window_start) sums the pane matrices
+    and computes features — exact by the GLCM sum-monoid law."""
+    l_us, s_us = _duration_us(length), _duration_us(slide)
+    assert l_us % s_us == 0, "slide must divide window length"
+    r = l_us // s_us
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lang, host, window_start = key
+        counts = np.frombuffer(b"".join(pdf["counts"]), dtype="<i8") \
+            .reshape(len(pdf), L2).sum(axis=0)
+        feats = _features_of_counts(counts.astype(np.float64))
+        return pd.DataFrame([{
+            "lang": lang, "host": host, "window_start": window_start,
+            "n_docs": int(pdf["n_docs"].sum()), **feats}])
+
+    exploded = (panes
+                .withColumn("_i", F.explode(F.array(
+                    *[F.lit(i) for i in range(r)])))
+                .withColumn("window_start", F.timestamp_micros(
+                    F.unix_micros("pane_start")
+                    - F.col("_i").cast("long") * F.lit(s_us)))
+                .select("lang", "host", "window_start", "counts",
+                        "n_docs"))
+    return (exploded.groupBy("lang", "host", "window_start")
+            .applyInPandas(assemble, SLIDING_OUTPUT_SCHEMA))
+
+
+def batch_glcm_agg_sliding(pages: DataFrame,
+                           length: str = config.SLIDING_WINDOW[0],
+                           slide: str = config.SLIDING_WINDOW[1]
+                           ) -> DataFrame:
+    """Batch oracle for the pane-based sliding path: INDEPENDENT compute
+    route — raw html per (lang, host, window) with the window membership
+    written out long-hand (row at t belongs to windows starting at
+    floor(t/S)*S - i*S for i < L/S, Spark's epoch-aligned sliding window
+    semantics), counts summed from the html by the kernel. Must agree
+    exactly with stream->panes->finalize for the same input."""
+    l_us, s_us = _duration_us(length), _duration_us(slide)
+    r = l_us // s_us
+
+    def agg_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lang, host, window_start = key
+        counts = kernel.glcm_counts_htmls(pdf["html"].tolist()) \
+            .sum(axis=0).ravel()
+        feats = _features_of_counts(counts)
+        return pd.DataFrame([{
+            "lang": lang, "host": host, "window_start": window_start,
+            "n_docs": len(pdf), **feats}])
+
+    keyed = (pages
+             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("_i", F.explode(F.array(
+                 *[F.lit(i) for i in range(r)])))
+             .withColumn("window_start", F.timestamp_micros(
+                 F.floor(F.unix_micros("warc_ts") / F.lit(s_us))
+                 .cast("long") * F.lit(s_us)
+                 - F.col("_i").cast("long") * F.lit(s_us)))
+             .select("lang", "host", "window_start", "html"))
+    return (keyed.groupBy("lang", "host", "window_start")
+            .applyInPandas(agg_group, SLIDING_OUTPUT_SCHEMA))
+
+
+# ===========================================================================
+# SESSION-window stateful accumulation (round-3 verdict #1)
+# ===========================================================================
+# Per-(lang, host) state holds the OPEN session fragments: disjoint
+# intervals [start, last] with the fragment's accumulated count matrix.
+# Fragment merging (insert an event, union any fragments within the gap)
+# is order-independent — the interval-union-with-gap operation is
+# confluent — so out-of-order arrival inside the watermark needs no
+# event buffering: each document's counts are absorbed on arrival and
+# only fragments (a handful per key) persist. Emission is update-mode:
+# every invocation emits the current extent of each open fragment, and
+# the reader keeps the MAXIMAL intervals per key (fragment growth is
+# monotone — a later emission either contains an earlier one or is
+# disjoint from it — so maximal-interval selection recovers exactly the
+# final session set, including still-open sessions on a drain, which a
+# close-only emission would lose). A fragment leaves state once no
+# admissible event can extend it (last + gap <= the watermark's ms
+# floor), bounding state to open-session count.
+
+_FRAG_REC = 3 + L2  # start_us, last_us, n_docs, then the count matrix
+
+SESSION_OUTPUT_SCHEMA = StructType([
+    StructField("lang", StringType()),
+    StructField("host", StringType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_docs", LongType()),
+    *[StructField(n, DoubleType()) for n in config.HARALICK_FEATURES],
+])
+
+SESSION_STATE_SCHEMA = StructType([
+    # fragments packed as consecutive <i8 records of _FRAG_REC words —
+    # one primitive buffer through the per-key state protocol, same
+    # rationale as STATE_SCHEMA
+    StructField("frags", BinaryType()),
+])
+
+
+def _unpack_frags(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<i8").reshape(-1, _FRAG_REC).copy()
+
+
+def _merge_frags(frags: np.ndarray, gap_us: int) -> np.ndarray:
+    """Union fragments whose intervals fall within the session gap:
+    sorted by start, fold B into A while B.start - A.last < gap_us
+    (strict — Spark session_window merges an event into a session only
+    while ts < last + gap). Confluent, so arrival order never matters."""
+    if len(frags) <= 1:
+        return frags
+    frags = frags[np.argsort(frags[:, 0], kind="stable")]
+    out = [frags[0]]
+    for i in range(1, len(frags)):
+        cur, prev = frags[i], out[-1]
+        if cur[0] - prev[1] < gap_us:
+            prev[1] = max(prev[1], cur[1])
+            prev[2] += cur[2]
+            prev[3:] += cur[3:]
+        else:
+            out.append(cur)
+    return np.stack(out)
+
+
+def make_session_state_fn(gap_us: int):
+    def accumulate_glcm_session(key, pdfs: Iterator[pd.DataFrame],
+                                state: GroupState
+                                ) -> Iterator[pd.DataFrame]:
+        lang, host = key
+        frags = _unpack_frags(state.get[0]) if state.exists \
+            else np.zeros((0, _FRAG_REC), dtype=np.int64)
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:
+            wm_ms = 0
+        new_rows = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.frombuffer(b"".join(pdf["gvec"]), dtype="<u4") \
+                    .reshape(len(pdf), L2).astype(np.int64)
+                ts = pdf["ts_us"].to_numpy()
+                recs = np.empty((len(pdf), _FRAG_REC), dtype=np.int64)
+                recs[:, 0] = ts
+                recs[:, 1] = ts
+                recs[:, 2] = 1
+                recs[:, 3:] = vecs
+                new_rows.append(recs)
+        if new_rows:
+            frags = np.concatenate([frags, *new_rows])
+        frags = _merge_frags(frags, gap_us) if len(frags) else frags
+
+        if len(frags) and not state.hasTimedOut:
+            # emit every open fragment's current extent (update mode);
+            # the reader's maximal-interval selection dedups growth
+            rows = []
+            for rec in frags:
+                feats = _features_of_counts(rec[3:].astype(np.float64))
+                rows.append({
+                    "lang": lang, "host": host,
+                    "session_start": pd.Timestamp(rec[0], unit="us"),
+                    "session_end": pd.Timestamp(rec[1] + gap_us,
+                                                unit="us"),
+                    "n_docs": int(rec[2]), **feats})
+            emit = pd.DataFrame(rows)
+        else:
+            emit = None
+
+        # close (drop) fragments no admissible event can extend: future
+        # rows have ts >= the true watermark >= wm_ms*1000 (its ms
+        # floor), and extension requires ts < last + gap
+        if len(frags):
+            open_mask = frags[:, 1] + gap_us > wm_ms * 1000
+            frags = frags[open_mask]
+        if len(frags):
+            state.update((frags.astype("<i8").tobytes(),))
+            try:
+                # evict once the watermark's ms floor passes every
+                # fragment's last+gap: ceil to the next whole ms
+                target = int((frags[:, 1].min() + gap_us + 999) // 1000)
+                state.setTimeoutTimestamp(max(target, wm_ms + 1))
+            except Exception:
+                pass  # NoTimeout config (batch-style tests)
+        else:
+            state.remove()
+        if emit is not None:
+            yield emit
+    return accumulate_glcm_session
+
+
+def stateful_glcm_session_agg(pages_stream: DataFrame,
+                              gap: str = config.SESSION_GAP,
+                              watermark: str = config.WATERMARK_DELAY,
+                              timeout: str =
+                              GroupStateTimeout.EventTimeTimeout
+                              ) -> DataFrame:
+    """pages stream -> per-(lang, host) session-window GLCM features
+    (gap-based sessions, Spark session_window semantics: a session spans
+    [first_ts, last_ts + gap)). Update-mode fragment emissions; run
+    final_sessions() over the sink to obtain the exact session set."""
+    gap_us = _duration_us(gap)
+    keyed = (pages_stream
+             .withWatermark("warc_ts", watermark)
+             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("ts_us", F.unix_micros("warc_ts"))
+             .withColumn("gvec", glcm_vec_udf()("html"))
+             .select("lang", "host", "ts_us", "gvec", "warc_ts"))
+    return (keyed.groupBy("lang", "host")
+            .applyInPandasWithState(make_session_state_fn(gap_us),
+                                    SESSION_OUTPUT_SCHEMA,
+                                    SESSION_STATE_SCHEMA,
+                                    "update", timeout))
+
+
+def final_sessions(emissions: DataFrame) -> DataFrame:
+    """Maximal-interval selection over update-mode fragment emissions:
+    keep a row iff no other row of the same (lang, host) contains its
+    [session_start, session_end] (fragments grow monotonically, so
+    containment-or-disjoint holds and the maximal rows ARE the final
+    sessions). One window pass: sorted by (start asc, end desc,
+    n_docs desc), a row is contained iff some predecessor's end reaches
+    its end — equal-interval re-emissions keep the fullest (largest
+    n_docs) row."""
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("lang", "host")
+         .orderBy(F.asc("session_start"), F.desc("session_end"),
+                  F.desc("n_docs"))
+         .rowsBetween(W.unboundedPreceding, -1))
+    return (emissions
+            .withColumn("_maxend", F.max("session_end").over(w))
+            .filter(F.col("_maxend").isNull()
+                    | (F.col("_maxend") < F.col("session_end")))
+            .drop("_maxend"))
+
+
+def batch_glcm_agg_session(pages: DataFrame,
+                           gap: str = config.SESSION_GAP) -> DataFrame:
+    """Batch oracle for the session path: INDEPENDENT route — per
+    (lang, host) group, sort by event time in pandas, split where the
+    gap to the previous event is >= the session gap (gaps-and-islands),
+    and sum the GLCM counts from the raw html per island."""
+    gap_us = _duration_us(gap)
+
+    def agg_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lang, host = key
+        pdf = pdf.sort_values("ts_us", kind="mergesort") \
+            .reset_index(drop=True)
+        ts = pdf["ts_us"].to_numpy()
+        sess_id = np.concatenate(
+            [[0], np.cumsum((ts[1:] - ts[:-1]) >= gap_us)])
+        counts = kernel.glcm_counts_htmls(pdf["html"].tolist()) \
+            .reshape(len(pdf), -1)
+        rows = []
+        for sid in np.unique(sess_id):
+            m = sess_id == sid
+            feats = _features_of_counts(
+                counts[m].sum(axis=0).astype(np.float64))
+            rows.append({
+                "lang": lang, "host": host,
+                "session_start": pd.Timestamp(ts[m].min(), unit="us"),
+                "session_end": pd.Timestamp(ts[m].max() + gap_us,
+                                            unit="us"),
+                "n_docs": int(m.sum()), **feats})
+        return pd.DataFrame(rows)
+
+    keyed = (pages
+             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("ts_us", F.unix_micros("warc_ts"))
+             .select("lang", "host", "ts_us", "html"))
+    return keyed.groupBy("lang", "host") \
+        .applyInPandas(agg_group, SESSION_OUTPUT_SCHEMA)
+
+
 def batch_glcm_agg(pages: DataFrame) -> DataFrame:
     """Batch oracle for the stateful path: same keys, GLCM summed per key
     with applyInPandas (no state). Must agree exactly with the streaming

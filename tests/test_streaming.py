@@ -108,6 +108,115 @@ def test_stateful_glcm_matches_batch(spark, pages_dir):
     assert sum(m["row_count"] for m in ms) >= len(g)
 
 
+def test_stateful_glcm_sliding_matches_batch(spark, pages_dir):
+    """Pane-based sliding-window stateful accumulation (round-3 verdict
+    #1): stream -> per-pane count vectors -> pane->window assembly must
+    equal the independent batch route (html duplicated per window,
+    counts from the kernel) EXACTLY — the GLCM sum monoid makes
+    pane-sum-then-featurize bit-identical to featurize-per-window."""
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    panes = state.stateful_glcm_pane_agg(sdf)
+    table = IcebergLiteTable(_scratch("tbl_panes"))
+    stream.run_to_sink(panes, table, _scratch("ckpt_panes"))
+
+    latest = _latest_per_key(table.read(spark),
+                             ["lang", "host", "pane_start"])
+    got_df = state.finalize_sliding_windows(
+        latest.select("lang", "host", "pane_start", "counts", "n_docs"))
+    exp_df = state.batch_glcm_agg_sliding(
+        stream.read_pages_batch(spark, pages_dir))
+    cols = ["lang", "host", "window_start"]
+    g = got_df.toPandas().sort_values(cols).reset_index(drop=True)
+    e = exp_df.toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+    # every doc lands in exactly L/S = 2 windows
+    assert g["n_docs"].sum() == 2 * 440
+    # window-membership math matches Spark's own sliding F.window
+    spark_win = (stream.read_pages_batch(spark, pages_dir)
+                 .withColumn("host", F.parse_url("url", F.lit("HOST")))
+                 .groupBy("lang", "host",
+                          F.window("warc_ts", "10 minutes",
+                                   "5 minutes").alias("w"))
+                 .agg(F.count(F.lit(1)).alias("n_docs"))
+                 .select("lang", "host",
+                         F.col("w.start").alias("window_start"), "n_docs")
+                 .toPandas().sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        g[cols + ["n_docs"]], spark_win[cols + ["n_docs"]])
+
+
+def test_stateful_glcm_session_matches_batch(spark, pages_dir):
+    """Session-window stateful accumulation (round-3 verdict #1):
+    update-mode fragment emissions + maximal-interval selection must
+    equal the independent gaps-and-islands pandas oracle EXACTLY —
+    including still-open sessions at end of stream (the drain case a
+    close-only emission would lose)."""
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    sess = state.stateful_glcm_session_agg(sdf)
+    qname = "sess_glcm"
+    q = (sess.writeStream.format("memory").queryName(qname)
+         .outputMode("update")
+         .option("checkpointLocation", _scratch("ckpt_sess_glcm"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got_df = state.final_sessions(spark.table(qname))
+    exp_df = state.batch_glcm_agg_session(
+        stream.read_pages_batch(spark, pages_dir))
+    cols = ["lang", "host", "session_start"]
+    g = got_df.toPandas().sort_values(cols).reset_index(drop=True)
+    e = exp_df.toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+    assert g["n_docs"].sum() == 440 and len(g) > len(
+        g.groupby(["lang", "host"]))  # some keys hold >1 session
+
+
+def test_session_fragments_merge_out_of_order(spark):
+    """An event arriving LATE (but inside the watermark) between two
+    already-open fragments must bridge them into ONE session — fragment
+    merging is confluent, so the final session set is arrival-order
+    independent."""
+    src = _scratch("sess_ooo_src")
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+
+    def _w(name, rows):
+        tbl = pa.table({
+            "url": pa.array([f"https://h1.example.com/doc/{i}"
+                             for i, _ in enumerate(rows)], pa.string()),
+            "warc_ts": pa.array([t0 + pd.Timedelta(minutes=m)
+                                 for m, _ in rows], pa.timestamp("us")),
+            "html": pa.array([h for _, h in rows], pa.binary()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string())})
+        path = os.path.join(src, name)
+        pq.write_table(tbl, path)
+        n = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        import time as _time
+        t = float(int(_time.time())) + n
+        os.utime(path, (t, t))
+
+    from glcmstream import kernel
+    h = [kernel.make_html(f"d{i}", f"body {i}") for i in range(3)]
+    # batch 1: two fragments 8 minutes apart (gap is 5 min -> separate)
+    _w("f1.parquet", [(0, h[0]), (8, h[1])])
+    # batch 2: bridging event at +4 arrives late -> ONE merged session
+    _w("f2.parquet", [(4, h[2])])
+    sdf = (spark.readStream
+           .schema(spark.read.parquet(src).schema)
+           .option("maxFilesPerTrigger", "1").parquet(src)
+           .withColumn("warc_ts", F.col("warc_ts").cast("timestamp")))
+    sess = state.stateful_glcm_session_agg(sdf)
+    qname = "sess_ooo"
+    q = (sess.writeStream.format("memory").queryName(qname)
+         .outputMode("update")
+         .option("checkpointLocation", _scratch("ckpt_sess_ooo"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = state.final_sessions(spark.table(qname)).toPandas()
+    assert len(got) == 1 and got["n_docs"].iloc[0] == 3
+    assert got["session_start"].iloc[0] == t0
+    assert got["session_end"].iloc[0] == t0 + pd.Timedelta(minutes=13)
+
+
 def test_exactly_once_sink_replay_noop(spark):
     df = spark.range(100).withColumn("v", F.col("id") * 2)
     table = IcebergLiteTable(_scratch("tbl_xonce"))
