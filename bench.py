@@ -126,17 +126,35 @@ def main() -> None:
     timings["glcm_batch_agg"] = round(time.perf_counter() - t0, 3)
 
     # --- stateful accumulation path -----------------------------------------
+    # headline = the bucketed protocol-amortized path (state.py cost
+    # anatomy: per-key applyInPandasWithState pays ~200us/key of Python
+    # emission overhead; bucketing amortizes it ~400x). The per-key
+    # path stays as the A/B control so protocol regressions are visible.
     ckpt2 = os.path.join(SCRATCH, "bench_ckpt2")
     shutil.rmtree(ckpt2, ignore_errors=True)
     t0 = time.perf_counter()
     sdf2 = stream.pages_stream(spark, pages_dir, max_files_per_trigger=32)
-    st = state.stateful_glcm_agg(sdf2)
+    st = state.stateful_glcm_agg_bucketed(sdf2)
     q2 = (st.writeStream.format("memory").queryName("bench_state")
           .outputMode("update").option("checkpointLocation", ckpt2)
           .trigger(availableNow=True).start())
     q2.awaitTermination()
     spark.table("bench_state").count()
     timings["glcm_stateful_accum"] = round(time.perf_counter() - t0, 3)
+
+    ckpt2b = os.path.join(SCRATCH, "bench_ckpt2b")
+    shutil.rmtree(ckpt2b, ignore_errors=True)
+    t0 = time.perf_counter()
+    sdf2b = stream.pages_stream(spark, pages_dir,
+                                max_files_per_trigger=32)
+    stb = state.stateful_glcm_agg(sdf2b)
+    q2b = (stb.writeStream.format("memory").queryName("bench_state_pk")
+           .outputMode("update").option("checkpointLocation", ckpt2b)
+           .trigger(availableNow=True).start())
+    q2b.awaitTermination()
+    spark.table("bench_state_pk").count()
+    timings["glcm_stateful_accum_perkey"] = round(
+        time.perf_counter() - t0, 3)
     # The fused-gvec stateful variant (state.stateful_glcm_agg_fused) is
     # deliberately NOT a bench leg: on this fixture's ~1-13 KiB pages the
     # fixed 4 KiB gvec leaving the python worker costs about what the
@@ -145,6 +163,43 @@ def main() -> None:
     # noise. It exists for the 100 TB shape (50-100 KiB pages) where the
     # input pipe dominates; exactness is pinned by
     # tests/test_fused.py::test_fused_stateful_glcm_matches_batch.
+
+    # --- streaming recrawl join over the bench pages (round-3 verdict
+    # #4: the streaming deliverable itself, not just its batch twin).
+    # Single epoch: a stream-stream join opens FOUR state stores per
+    # shuffle partition (left/right x keyToNumValues/keyWithIndexToValue
+    # = 128 RocksDB opens at 32 partitions), so the availableNow drain's
+    # O(1)/epoch fixed cost is ~4x the single-store legs' 2.5-3.8 s —
+    # measured 15 s on a 400-doc fixture, i.e. all fixed cost. One epoch
+    # pays it once; on a continuous production stream it amortizes to
+    # zero. -------------------------------------------------------------------
+    ckpt3 = os.path.join(SCRATCH, "bench_ckpt_recrawl")
+    shutil.rmtree(ckpt3, ignore_errors=True)
+    t0 = time.perf_counter()
+    sdf3 = stream.pages_stream(spark, pages_dir,
+                               max_files_per_trigger=None)
+    j = stream.recrawl_stream_join(sdf3)
+    q3 = (j.writeStream.format("memory").queryName("bench_recrawl_s")
+          .outputMode("append").option("checkpointLocation", ckpt3)
+          .trigger(availableNow=True).start())
+    q3.awaitTermination()
+    assert spark.table("bench_recrawl_s").count() > 0
+    timings["recrawl_stream_join"] = round(time.perf_counter() - t0, 3)
+
+    # --- ANN LSH at a 25x embedding fixture (round-3 verdict #8:
+    # evidence lsh_geometry's scaling — bits grow, runtime stays near-
+    # linear; recall at this geometry is pinned by
+    # test_ann_lsh_recall_at_50k) ---------------------------------------------
+    from glcmstream import fixtures as fx, similarity
+    emb50_dir = os.path.join(SCRATCH, "bench_emb_50000")
+    if not os.path.exists(os.path.join(emb50_dir, "part-0007.parquet")):
+        fx.write_embeddings_parquet(emb50_dir, 50_000, n_planted=20)
+    t0 = time.perf_counter()
+    emb50 = spark.read.parquet(emb50_dir)
+    n_pairs = similarity.lsh_near_neighbors(
+        emb50, min_cosine=0.9, n_vectors=50_040).count()
+    assert n_pairs >= 17  # >= 17/20 planted pairs (S-curve P ~ 0.992)
+    timings["ann_lsh_pairs_50k"] = round(time.perf_counter() - t0, 3)
 
     # --- batch operator suite (driver tables at this sf) --------------------
     registry = qmod.QUERIES
@@ -157,7 +212,8 @@ def main() -> None:
                  "map_json_props", "streaming_session_pages",
                  "heavy_hitters_hosts", "corpus_clean_stats",
                  "tfidf_top_terms", "ntok_quantiles", "stratified_sample",
-                 "streaming_cdc_upsert"]:
+                 "streaming_cdc_upsert", "cep_click_purchase",
+                 "iceberg_stream_scan"]:
         t0 = time.perf_counter()
         registry[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -90,6 +90,49 @@ def gen_pages(n_docs: int, seed: int = 42, hot_host_frac: float = 0.0,
     return df
 
 
+def gen_embeddings(n_background: int, n_planted: int = 0, dim: int = 64,
+                   seed: int = 999) -> tuple[pd.DataFrame, list]:
+    """Deterministic unit-norm embedding fixture (vectorized — usable at
+    10x+ driver-table scale for the lsh_geometry scaling legs): random
+    background vectors plus n_planted near-duplicate pairs at cosine
+    ~0.98 (w = v + 0.15*noise). Returns (DataFrame[vec_id, embedding],
+    planted id pairs); ids are 0..n-1 with planted pairs at the tail."""
+    rng = np.random.default_rng(seed)
+    bg = rng.standard_normal((n_background, dim))
+    v = rng.standard_normal((n_planted, dim))
+    w = v + 0.15 * rng.standard_normal((n_planted, dim))
+    pairs = np.empty((2 * n_planted, dim))
+    pairs[0::2] = v
+    pairs[1::2] = w
+    M = np.concatenate([bg, pairs]) if n_planted else bg
+    M = (M / np.linalg.norm(M, axis=1, keepdims=True)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(len(M), dtype=np.int64),
+                        "embedding": list(M)})
+    planted = [(n_background + 2 * i, n_background + 2 * i + 1)
+               for i in range(n_planted)]
+    return pdf, planted
+
+
+def write_embeddings_parquet(out_dir: str, n_background: int,
+                             n_planted: int = 0, dim: int = 64,
+                             seed: int = 999, n_files: int = 8) -> str:
+    """Materialize gen_embeddings as parquet (bench fixture path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf, _ = gen_embeddings(n_background, n_planted, dim, seed)
+    os.makedirs(out_dir, exist_ok=True)
+    schema = pa.schema([pa.field("vec_id", pa.int64()),
+                        pa.field("embedding", pa.list_(pa.float32()))])
+    chunks = np.array_split(np.arange(len(pdf)), n_files)
+    for i, ix in enumerate(chunks):
+        tbl = pa.Table.from_pandas(pdf.iloc[ix], schema=schema,
+                                   preserve_index=False)
+        pq.write_table(tbl, os.path.join(out_dir,
+                                         f"part-{i:04d}.parquet"))
+    return out_dir
+
+
 def write_pages_parquet(out_dir: str, n_docs: int, seed: int = 42,
                         n_files: int = 8, hot_host_frac: float = 0.0,
                         min_tokens: int = 20, max_tokens: int = 400,

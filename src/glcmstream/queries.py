@@ -1559,6 +1559,38 @@ def streaming_stateful_glcm_fused(spark, sf_dir):
                           for c in config.HARALICK_FEATURES])
 
 
+@register("streaming_stateful_glcm_bucketed")  # rows-only: GLCM not SQL-expressible
+def streaming_stateful_glcm_bucketed(spark, sf_dir):
+    """The protocol-amortized stateful accumulation (state keyed by
+    hash bucket, per-bucket vectorized sums + features) as a
+    driver-checkable query — final rows must be identical to
+    streaming_stateful_glcm's (pinned exactly by
+    test_stateful_glcm_bucketed_matches_batch); this is the engine's
+    fast path for the same semantics (~5.5 s vs ~12.6 s at the bench
+    fixture, see state.py cost anatomy)."""
+    from pyspark.sql import Window as W
+
+    from . import state as state_mod
+    ensure_pyfiles(spark)
+    sdf = _derived_pages_stream(spark, sf_dir) \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = state_mod.stateful_glcm_agg_bucketed(sdf)
+    qname = f"bktq_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = W.partitionBy("lang", "host", "window_start") \
+         .orderBy(F.desc("n_docs"))
+    final = (spark.table(qname)
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn", "n_batches"))
+    return final.select("lang", "host", "window_start", "n_docs",
+                        *[F.round(c, 4).alias(c)
+                          for c in config.HARALICK_FEATURES])
+
+
 @register("streaming_stateful_glcm_sliding")  # rows-only: GLCM not SQL-expressible
 def streaming_stateful_glcm_sliding(spark, sf_dir):
     """Pane-based SLIDING-window stateful GLCM accumulation (round-3
@@ -2090,40 +2122,55 @@ def corpus_clean_stats(spark, sf_dir):
 #   _CHECK_LAST — twice-green TPC-H/scalar shapes rotate out of the
 #     window (their operator categories remain evidenced by r01+r02 rows).
 
+# Round-4 rotation (round-3 verdict #6): FIRST = zero-evidence queries;
+# MID opens with the r2-stale set (rotated out for all of round 3:
+# salted_host_agg + the 25 former LAST entries) so nothing goes >2
+# rounds without a driver row, then the 17 once-green r3 entries to
+# reach twice-green, then two rows-only profiles. MID is sized 45 so
+# FIRST+MID = 48 < 50: up to two further round-4 additions land inside
+# the window without pushing a MID entry out (more than two would —
+# rotate a twice-green MID name to LAST per extra addition).
 _CHECK_FIRST = [
-    "fused_windowed_counts", "streaming_stateful_glcm",
-    "cep_click_purchase", "streaming_tumbling_events",
-    "streaming_sliding_events", "streaming_session_windows",
-    "streaming_session_pages", "streaming_dedup_urls",
-    "stream_static_join", "pandas_udaf_geomean", "regex_token_stats",
-    "grouping_sets_orders", "session_windows_batch", "dedup_first_crawl",
-    "hour_histogram_events", "embedding_slice_stats",
-    "approx_distinct_parts",
+    "streaming_stateful_glcm_bucketed", "streaming_stateful_glcm_sliding",
+    "streaming_stateful_glcm_session",
 ]
 _CHECK_MID = [
-    "join_broadcast_region", "revenue_by_priority",
-    "asof_join_click_purchase", "range_join_event_pairs",
-    "recrawl_interval_join", "map_json_props",
-    "token_stats", "lang_id_markers",
-    "jaccard_word_pairs", "minhash_lsh_dedup", "simhash_near_pairs",
-    "ann_topk_cosine", "ivf_cell_counts", "ivf_topk_cosine",
-    "ann_lsh_pairs", "multimodal_metadata", "multimodal_resize",
-    "extract_text_invariant",
-    "glcm_lang_profile", "rendertile_profile", "udtf_token_explode",
-    "cogrouped_user_funnel", "iceberg_scan_pages", "iceberg_stream_scan",
-    "salted_host_agg",
+    # --- last driver row r2: back in the window ---
+    "salted_host_agg", "top10_orders", "window_lag_delta",
+    "window_rolling_sum", "rollup_flag_status", "cube_segment_nation",
+    "window_rank_orders", "setop_active_rich_customers",
+    "setop_inactive_customers", "datetime_monthly_orders",
+    "json_props_stats", "percentile_prices", "distinct_parts_per_flag",
+    "anti_join_customers", "semi_join_suppliers",
+    "outer_join_order_histogram", "string_fns_hosts", "embedding_norms",
+    "cosine_to_v0", "doc_fingerprints", "simhash_buckets",
+    "dedup_exact_docs", "text_quality", "multimodal_frame_sample",
+    "pricing_summary", "filter_pushdown_part",
+    # --- first-ever driver row in r3: reach twice-green ---
+    "fused_windowed_counts", "streaming_stateful_glcm",
+    "cep_click_purchase", "streaming_stateful_glcm_fused",
+    "stream_static_join", "streaming_dedup_urls",
+    "streaming_session_pages", "pandas_udaf_geomean",
+    "regex_token_stats", "streaming_cdc_upsert", "iceberg_merge_upsert",
+    "iceberg_compacted_scan", "tfidf_top_terms", "ntok_quantiles",
+    "stratified_sample", "heavy_hitters_hosts", "corpus_clean_stats",
+    # --- rows-only profiles: keep value evidence flowing ---
+    "glcm_lang_profile", "rendertile_profile",
 ]
 _CHECK_LAST = [
-    "top10_orders", "window_lag_delta", "window_rolling_sum",
-    "rollup_flag_status", "cube_segment_nation", "window_rank_orders",
-    "setop_active_rich_customers", "setop_inactive_customers",
-    "datetime_monthly_orders", "json_props_stats", "percentile_prices",
-    "distinct_parts_per_flag", "anti_join_customers",
-    "semi_join_suppliers", "outer_join_order_histogram",
-    "string_fns_hosts", "embedding_norms", "cosine_to_v0",
-    "doc_fingerprints", "simhash_buckets", "dedup_exact_docs",
-    "text_quality", "multimodal_frame_sample", "pricing_summary",
-    "filter_pushdown_part",
+    "streaming_tumbling_events", "streaming_sliding_events",
+    "streaming_session_windows", "grouping_sets_orders",
+    "session_windows_batch", "dedup_first_crawl",
+    "hour_histogram_events", "embedding_slice_stats",
+    "approx_distinct_parts", "join_broadcast_region",
+    "revenue_by_priority", "asof_join_click_purchase",
+    "range_join_event_pairs", "recrawl_interval_join", "map_json_props",
+    "token_stats", "lang_id_markers", "jaccard_word_pairs",
+    "minhash_lsh_dedup", "simhash_near_pairs", "ann_topk_cosine",
+    "ivf_cell_counts", "ivf_topk_cosine", "ann_lsh_pairs",
+    "multimodal_metadata", "multimodal_resize",
+    "extract_text_invariant", "udtf_token_explode",
+    "cogrouped_user_funnel", "iceberg_scan_pages", "iceberg_stream_scan",
 ]
 
 

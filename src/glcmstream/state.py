@@ -14,13 +14,17 @@ Cost model (measured at 55k docs / 13.4k (lang,host,window) keys x 2
 epochs, local[32]): the python state function itself is ~1.4s of wall
 (balanced across workers; per-key input conversion + vector sum +
 feature emission), the identical pipeline with a BUILT-IN streaming agg
-in place of the pandas state op runs 7.5s, and the full stateful run is
-~11s — the ~4s delta is applyInPandasWithState's per-group Arrow/state
-protocol, proportional to GROUP COUNT, not data volume, hence
-scale-safe. Spark 4's transformWithStateInPandas (arrow-batched state
-records) was evaluated as a faster protocol but is unusable in this
-environment: its state protocol requires google.protobuf, which the
-container does not ship.
+in place of the pandas state op runs 5.3-7.5s, and the full stateful
+run is ~12.6s — the delta is applyInPandasWithState's per-group
+Arrow/state protocol plus ~200us/key of Python-side emission overhead,
+proportional to GROUP COUNT, not data volume. The bucketed variant
+below (stateful_glcm_agg_bucketed) amortizes that per-group cost over
+~keys/buckets fine keys and runs the same pipeline in ~5.5s with
+bit-identical emissions; the per-key path remains the A/B control.
+Spark 4's transformWithStateInPandas (arrow-batched state records) was
+evaluated as a faster protocol but is unusable in this environment:
+its state protocol requires google.protobuf, which the container does
+not ship.
 """
 
 from __future__ import annotations
@@ -192,6 +196,186 @@ def stateful_glcm_agg_fused(gvec_stream: DataFrame,
     return (keyed.groupBy("lang", "host", "window_start")
             .applyInPandasWithState(accumulate_glcm, OUTPUT_SCHEMA,
                                     STATE_SCHEMA, "update", timeout))
+
+
+# ===========================================================================
+# Bucketed stateful accumulation: amortize the per-group state protocol
+# ===========================================================================
+# Measured cost anatomy of the per-key path at 27k (lang, host, window)
+# keys, local[32] (round-4): the identical pipeline with a built-in
+# count agg runs 5.3 s, the stateful run ~12.6 s, and ~5.5 s of the
+# delta is PER-INVOCATION Python overhead — ~150 us to construct each
+# single-row emission DataFrame + ~55 us of per-key feature math —
+# which no protocol tuning removes (fewer epochs measured flat: 12.9 s
+# at 1 epoch vs 12.0 s at 2). Two round-3-verdict levers were measured
+# and REJECTED first: (a) JVM-native wide-column sums — explode the
+# count vector to array<long> and aggregate with L²=1024 built-in
+# sum() columns — runs ~30 s on the 440-doc test fixture alone
+# (Catalyst planning + codegen fallback on 1024 aggregate buffers
+# dominates; two orders of magnitude off at 1/100th the data), and
+# (b) fewer/larger micro-batches, flat as above because the overhead
+# is per KEY, not per epoch. The fix that works is to key the state by
+# HASH BUCKET instead of fine key: one applyInPandasWithState group per
+# bucket holds all of the bucket's fine-key count matrices in a single
+# packed blob, so each invocation amortizes the protocol + DataFrame +
+# feature cost over ~keys/buckets fine keys, with the sums and the
+# Haralick features vectorized ACROSS keys (numpy add.at / stacked
+# haralick_batch). Semantically identical to stateful_glcm_agg (same
+# emissions, same eviction policy); the spec-named API
+# (applyInPandasWithState, BASELINE.json:6) remains the state engine.
+# At cluster scale `buckets` should be ~4x total cores: state per
+# bucket stays keys/buckets x 8 KiB and hash-spreads hot keys.
+
+BUCKET_STATE_SCHEMA = StructType([
+    # fine-key records packed back-to-back: u2 lang_len, lang utf8,
+    # u2 host_len, host utf8, then <i8 ws_us, n_docs, n_batches and the
+    # <i8 L2 count matrix (one primitive buffer through the protocol,
+    # same rationale as STATE_SCHEMA)
+    StructField("blob", BinaryType()),
+])
+
+
+def _pack_bucket(keys: list, mats: np.ndarray, meta: np.ndarray) -> bytes:
+    """keys: [(lang, host)], meta: (n,3) int64 [ws_us, n_docs,
+    n_batches], mats: (n, L2) int64."""
+    parts = []
+    for (lang, host), m, mt in zip(keys, mats, meta):
+        lb, hb = lang.encode(), host.encode()
+        parts.append(len(lb).to_bytes(2, "little") + lb
+                     + len(hb).to_bytes(2, "little") + hb
+                     + mt.astype("<i8").tobytes()
+                     + m.astype("<i8").tobytes())
+    return b"".join(parts)
+
+
+def _unpack_bucket(buf: bytes):
+    keys, metas, mats = [], [], []
+    off, n = 0, len(buf)
+    while off < n:
+        ll = int.from_bytes(buf[off:off + 2], "little"); off += 2
+        lang = buf[off:off + ll].decode(); off += ll
+        hl = int.from_bytes(buf[off:off + 2], "little"); off += 2
+        host = buf[off:off + hl].decode(); off += hl
+        metas.append(np.frombuffer(buf, dtype="<i8", count=3, offset=off))
+        off += 24
+        mats.append(np.frombuffer(buf, dtype="<i8", count=L2, offset=off))
+        off += L2 * 8
+        keys.append((lang, host))
+    if not keys:
+        return [], np.zeros((0, 3), np.int64), np.zeros((0, L2), np.int64)
+    return keys, np.stack(metas).copy(), np.stack(mats).copy()
+
+
+def _bucket_state_fn(window_us: int, retain_us: int = 3_600_000_000):
+    def accumulate_bucket(key, pdfs: Iterator[pd.DataFrame],
+                          state: GroupState) -> Iterator[pd.DataFrame]:
+        keys, meta, mats = ([], None, None)
+        if state.exists:
+            keys, meta, mats = _unpack_bucket(state.get[0])
+        else:
+            meta = np.zeros((0, 3), np.int64)
+            mats = np.zeros((0, L2), np.int64)
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:
+            wm_ms = 0
+        index = {k + (int(m[0]),): i
+                 for i, (k, m) in enumerate(zip(keys, meta))}
+        touched: dict[int, bool] = {}
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.frombuffer(b"".join(pdf["gvec"]), dtype="<u4") \
+                    .reshape(len(pdf), L2).astype(np.int64)
+                ws = pdf["ws_us"].to_numpy()
+                langs = pdf["lang"].to_numpy()
+                hosts = pdf["host"].to_numpy()
+                rows_per_key: dict = {}
+                for r in range(len(pdf)):
+                    fk = (langs[r], hosts[r], int(ws[r]))
+                    rows_per_key.setdefault(fk, []).append(r)
+                # append state rows for unseen fine keys, then one
+                # vectorized scatter-add over the batch
+                for fk in rows_per_key:
+                    if fk not in index:
+                        index[fk] = len(keys)
+                        keys.append((fk[0], fk[1]))
+                        meta = np.vstack([meta, [[fk[2], 0, 0]]])
+                        mats = np.vstack([mats,
+                                          np.zeros((1, L2), np.int64)])
+                tgt = np.empty(len(pdf), np.int64)
+                for fk, rows in rows_per_key.items():
+                    i = index[fk]
+                    tgt[rows] = i
+                    meta[i, 1] += len(rows)
+                    meta[i, 2] += 1
+                np.add.at(mats, tgt, vecs)
+                for fk in rows_per_key:
+                    touched[index[fk]] = True
+        if touched:
+            ti = sorted(touched)
+            sub = mats[ti].astype(np.float64) \
+                .reshape(len(ti), config.GRAY_LEVELS, config.GRAY_LEVELS)
+            P = kernel.normalize_glcm(sub)
+            feats = kernel.haralick_batch(P)
+            out = pd.DataFrame({
+                "lang": [keys[i][0] for i in ti],
+                "host": [keys[i][1] for i in ti],
+                "window_start": pd.to_datetime(meta[ti, 0], unit="us"),
+                "n_docs": meta[ti, 1],
+                "n_batches": meta[ti, 2],
+                **{k: v for k, v in feats.items()}})
+        else:
+            out = None
+        # evict fine keys whose window end fell retain_us behind the
+        # watermark (same policy as the per-key path's timeout)
+        keep = meta[:, 0] + window_us + retain_us > wm_ms * 1000
+        if not keep.all():
+            keys = [k for k, kp in zip(keys, keep) if kp]
+            meta, mats = meta[keep], mats[keep]
+        if keys:
+            state.update((_pack_bucket(keys, mats, meta),))
+            try:
+                target = int((meta[:, 0].min() + window_us + retain_us)
+                             // 1000)
+                state.setTimeoutTimestamp(max(target, wm_ms + 1))
+            except Exception:
+                pass  # NoTimeout config (batch-style tests)
+        else:
+            state.remove()
+        if out is not None:
+            yield out
+    return accumulate_bucket
+
+
+def stateful_glcm_agg_bucketed(pages_stream: DataFrame,
+                               window: str = config.TUMBLING_WINDOW,
+                               watermark: str = config.WATERMARK_DELAY,
+                               buckets: int = 128,
+                               timeout: str =
+                               GroupStateTimeout.EventTimeTimeout
+                               ) -> DataFrame:
+    """pages stream -> per-(lang, host, tumbling-window) incrementally
+    accumulated GLCM features, protocol-amortized: state is keyed by
+    xxhash64 bucket, each bucket's invocation sums and featurizes all
+    its fine keys vectorized. Emissions are row-for-row identical to
+    stateful_glcm_agg's (minus emission order within a batch)."""
+    w_us = _duration_us(window)
+    keyed = (pages_stream
+             .withWatermark("warc_ts", watermark)
+             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("ws_us", F.unix_micros(
+                 F.window("warc_ts", window).start))
+             .withColumn("gvec", glcm_vec_udf()("html"))
+             .withColumn("bucket", F.pmod(
+                 F.xxhash64("lang", "host", "ws_us"), F.lit(buckets)))
+             .select("bucket", "lang", "host", "ws_us", "gvec",
+                     "warc_ts"))
+    return (keyed.groupBy("bucket")
+            .applyInPandasWithState(_bucket_state_fn(w_us),
+                                    OUTPUT_SCHEMA, BUCKET_STATE_SCHEMA,
+                                    "update", timeout))
 
 
 # ===========================================================================

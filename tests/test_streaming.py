@@ -108,6 +108,32 @@ def test_stateful_glcm_matches_batch(spark, pages_dir):
     assert sum(m["row_count"] for m in ms) >= len(g)
 
 
+def test_stateful_glcm_bucketed_matches_batch(spark, pages_dir):
+    """Protocol-amortized bucketed stateful accumulation must produce
+    row-for-row the same final (lang, host, window) features as the
+    per-key path AND the no-state batch oracle (the bucketed path is a
+    pure execution-strategy fork: hash-bucketed state keys, vectorized
+    per-bucket sums/features)."""
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    out = state.stateful_glcm_agg_bucketed(sdf, buckets=16)
+    qname = "bkt_glcm"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update")
+         .option("checkpointLocation", _scratch("ckpt_bkt_glcm"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = _latest_per_key(spark.table(qname),
+                          ["lang", "host", "window_start"])
+    exp = state.batch_glcm_agg(stream.read_pages_batch(spark, pages_dir))
+    cols = ["lang", "host", "window_start"]
+    g = got.drop("_rn", "n_batches").toPandas().sort_values(cols) \
+        .reset_index(drop=True)
+    e = exp.drop("n_batches").toPandas().sort_values(cols) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+    assert g["n_docs"].sum() == 440
+
+
 def test_stateful_glcm_sliding_matches_batch(spark, pages_dir):
     """Pane-based sliding-window stateful accumulation (round-3 verdict
     #1): stream -> per-pane count vectors -> pane->window assembly must
