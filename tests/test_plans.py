@@ -119,6 +119,48 @@ def test_stratified_sample_rank_limit_pushed_down(spark):
     assert partial >= 0
 
 
+def test_stateful_state_exchanges_never_carry_html(spark):
+    """Scale claim of every stateful-GLCM path (tumbling-bucketed, pane,
+    session): the html decodes map-side and only the fixed-size gvec
+    crosses the state exchange — a plan whose Exchange carries html
+    serializes the whole corpus per window at 10^12 docs. Streaming
+    plans only materialize once started, so each path runs availableNow
+    on the small fixture and the executed plan comes from
+    explainInternal."""
+    import os as _os
+    import shutil as _sh
+
+    from glcmstream import state, stream
+
+    scratch = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".scratch")
+    d = _os.path.join(scratch, "pages_stream_400")
+    if not _os.path.exists(_os.path.join(d, "part-0007.parquet")):
+        from glcmstream import fixtures
+        _sh.rmtree(d, ignore_errors=True)
+        fixtures.write_pages_parquet(d, n_docs=400, n_files=8)
+
+    paths = {
+        "bucketed": state.stateful_glcm_agg_bucketed,
+        "pane": state.stateful_glcm_pane_agg,
+        "session": state.stateful_glcm_session_agg,
+    }
+    for name, fn in paths.items():
+        ck = _os.path.join(scratch, f"ckpt_plan_{name}")
+        _sh.rmtree(ck, ignore_errors=True)
+        sdf = stream.pages_stream(spark, d, max_files_per_trigger=None)
+        q = (fn(sdf).writeStream.format("noop").outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        s = q._jsq.explainInternal(False)
+        assert "FlatMapGroupsInPandasWithState" in s, (name, s[:400])
+        for frag in s.split("Exchange")[1:]:
+            line = frag.splitlines()[0]
+            assert "html" not in line, \
+                f"{name}: html crosses the state exchange: {line}"
+
+
 def test_no_per_row_python_udf_lint():
     """BASELINE.json:15: vectorized pandas/Arrow UDFs only — no
     row-at-a-time @udf anywhere in the engine source."""
