@@ -155,6 +155,34 @@ def main() -> None:
     spark.table("bench_state_pk").count()
     timings["glcm_stateful_accum_perkey"] = round(
         time.perf_counter() - t0, 3)
+
+    # --- sliding (pane-based, bucketed) + session stateful paths ------------
+    ckpt2c = os.path.join(SCRATCH, "bench_ckpt2c")
+    shutil.rmtree(ckpt2c, ignore_errors=True)
+    t0 = time.perf_counter()
+    sdf2c = stream.pages_stream(spark, pages_dir,
+                                max_files_per_trigger=32)
+    panes = state.stateful_glcm_pane_agg_bucketed(sdf2c)
+    q2c = (panes.writeStream.format("memory").queryName("bench_panes")
+           .outputMode("update").option("checkpointLocation", ckpt2c)
+           .trigger(availableNow=True).start())
+    q2c.awaitTermination()
+    latest = state.latest_panes(spark.table("bench_panes"))
+    assert state.finalize_sliding_windows(latest).count() > 0
+    timings["glcm_stateful_sliding"] = round(time.perf_counter() - t0, 3)
+
+    ckpt2d = os.path.join(SCRATCH, "bench_ckpt2d")
+    shutil.rmtree(ckpt2d, ignore_errors=True)
+    t0 = time.perf_counter()
+    sdf2d = stream.pages_stream(spark, pages_dir,
+                                max_files_per_trigger=32)
+    sess = state.stateful_glcm_session_agg(sdf2d)
+    q2d = (sess.writeStream.format("memory").queryName("bench_sess")
+           .outputMode("update").option("checkpointLocation", ckpt2d)
+           .trigger(availableNow=True).start())
+    q2d.awaitTermination()
+    assert state.final_sessions(spark.table("bench_sess")).count() > 0
+    timings["glcm_stateful_session"] = round(time.perf_counter() - t0, 3)
     # The fused-gvec stateful variant (state.stateful_glcm_agg_fused) is
     # deliberately NOT a bench leg: on this fixture's ~1-13 KiB pages the
     # fixed 4 KiB gvec leaving the python worker costs about what the

@@ -1597,27 +1597,24 @@ def streaming_stateful_glcm_sliding(spark, sf_dir):
     verdict #1): stream -> map-side gvec -> per-PANE
     applyInPandasWithState count accumulation -> pane->window assembly
     (each 4 KiB gvec crosses the state exchange once, not length/slide
-    times). Exactness vs the independent html-per-window batch route is
-    pinned by test_stateful_glcm_sliding_matches_batch."""
+    times). Runs the protocol-amortized bucketed pane path (identical
+    emissions, pinned by test_bucketed_panes_match_per_pane); exactness
+    vs the independent html-per-window batch route is pinned by
+    test_stateful_glcm_sliding_matches_batch."""
     from pyspark.sql import Window as W
 
     from . import state as state_mod
     ensure_pyfiles(spark)
     sdf = _derived_pages_stream(spark, sf_dir) \
         .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
-    panes = state_mod.stateful_glcm_pane_agg(sdf)
+    panes = state_mod.stateful_glcm_pane_agg_bucketed(sdf)
     qname = f"slideq_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
     q = (panes.writeStream.format("memory").queryName(qname)
          .outputMode("update").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    w = W.partitionBy("lang", "host", "pane_start") \
-         .orderBy(F.desc("n_docs"))
-    latest = (spark.table(qname)
-              .withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1)
-              .select("lang", "host", "pane_start", "counts", "n_docs"))
+    latest = state_mod.latest_panes(spark.table(qname))
     final = state_mod.finalize_sliding_windows(latest)
     return final.select(
         "lang", "host",

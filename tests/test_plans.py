@@ -143,6 +143,7 @@ def test_stateful_state_exchanges_never_carry_html(spark):
     paths = {
         "bucketed": state.stateful_glcm_agg_bucketed,
         "pane": state.stateful_glcm_pane_agg,
+        "pane_bucketed": state.stateful_glcm_pane_agg_bucketed,
         "session": state.stateful_glcm_session_agg,
     }
     for name, fn in paths.items():

@@ -171,6 +171,31 @@ def test_stateful_glcm_sliding_matches_batch(spark, pages_dir):
         g[cols + ["n_docs"]], spark_win[cols + ["n_docs"]])
 
 
+def test_bucketed_panes_match_per_pane(spark, pages_dir):
+    """The protocol-amortized pane path must emit pane count vectors
+    whose latest-per-pane resolution is byte-identical to the per-pane
+    path's (pure execution-strategy fork, like tumbling's bucketing)."""
+    def run(fn, tag):
+        sdf = stream.pages_stream(spark, pages_dir,
+                                  max_files_per_trigger=2)
+        q = (fn(sdf).writeStream.format("memory").queryName(tag)
+             .outputMode("update")
+             .option("checkpointLocation", _scratch(f"ckpt_{tag}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return (_latest_per_key(spark.table(tag),
+                                ["lang", "host", "pane_start"])
+                .drop("n_batches").toPandas()
+                .sort_values(["lang", "host", "pane_start"])
+                .reset_index(drop=True))
+
+    g = run(lambda s: state.stateful_glcm_pane_agg_bucketed(s, buckets=16),
+            "panes_bkt")
+    e = run(state.stateful_glcm_pane_agg, "panes_pk")
+    pd.testing.assert_frame_equal(g, e)
+    assert len(g) and g["n_docs"].sum() == 440
+
+
 def test_stateful_glcm_session_matches_batch(spark, pages_dir):
     """Session-window stateful accumulation (round-3 verdict #1):
     update-mode fragment emissions + maximal-interval selection must
