@@ -176,7 +176,7 @@ def main() -> None:
     t0 = time.perf_counter()
     sdf2d = stream.pages_stream(spark, pages_dir,
                                 max_files_per_trigger=32)
-    sess = state.stateful_glcm_session_agg(sdf2d)
+    sess = state.stateful_glcm_session_agg_bucketed(sdf2d)
     q2d = (sess.writeStream.format("memory").queryName("bench_sess")
            .outputMode("update").option("checkpointLocation", ckpt2d)
            .trigger(availableNow=True).start())

@@ -1626,16 +1626,18 @@ def streaming_stateful_glcm_sliding(spark, sf_dir):
 def streaming_stateful_glcm_session(spark, sf_dir):
     """SESSION-window stateful GLCM accumulation keyed by (lang, host)
     (round-3 verdict #1; BASELINE.json:6 names all three window kinds):
-    open session fragments live in per-key state, update-mode emissions
-    + maximal-interval selection recover the exact final session set —
-    including sessions still open at the drain. Exactness vs the
-    independent gaps-and-islands oracle is pinned by
-    test_stateful_glcm_session_matches_batch."""
+    open session fragments live in hash-bucketed state (the
+    protocol-amortized path, emissions pinned identical to the
+    per-(lang, host) path by test_bucketed_sessions_match_per_key);
+    update-mode emissions + maximal-interval selection recover the
+    exact final session set — including sessions still open at the
+    drain. Exactness vs the independent gaps-and-islands oracle is
+    pinned by test_stateful_glcm_session_matches_batch."""
     from . import state as state_mod
     ensure_pyfiles(spark)
     sdf = _derived_pages_stream(spark, sf_dir) \
         .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
-    sess = state_mod.stateful_glcm_session_agg(sdf)
+    sess = state_mod.stateful_glcm_session_agg_bucketed(sdf)
     qname = f"sessglcmq_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
     q = (sess.writeStream.format("memory").queryName(qname)

@@ -853,6 +853,135 @@ def make_session_state_fn(gap_us: int):
     return accumulate_glcm_session
 
 
+def _bucket_session_state_fn(gap_us: int):
+    """Bucketed twin of the session state fn: one state group per hash
+    bucket of (lang, host) holds ALL its keys' open fragments in one
+    packed blob (record layout shared with _pack_bucket: meta =
+    [start_us, last_us, n_docs] + count matrix). Same amortization
+    rationale as the tumbling/pane bucketing — per-key
+    applyInPandasWithState costs ~200 us/key/batch of Python overhead,
+    which at web-scale host cardinality dominates; fragment merge runs
+    per fine key (a handful of fragments each), feature emission is
+    vectorized across every touched fragment in the bucket."""
+    def accumulate_bucket_sessions(key, pdfs: Iterator[pd.DataFrame],
+                                   state: GroupState
+                                   ) -> Iterator[pd.DataFrame]:
+        keys, meta, mats = ([], None, None)
+        if state.exists:
+            keys, meta, mats = _unpack_bucket(state.get[0])
+        else:
+            meta = np.zeros((0, 3), np.int64)
+            mats = np.zeros((0, L2), np.int64)
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:
+            wm_ms = 0
+        # fragments per fine key: {(lang, host): (n,1+1+1+L2) array}
+        per_key: dict = {}
+        for k, m, mat in zip(keys, meta, mats):
+            rec = np.concatenate([m, mat])
+            per_key.setdefault(k, []).append(rec)
+        touched_new_ts: dict = {}
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.frombuffer(b"".join(pdf["gvec"]), dtype="<u4") \
+                    .reshape(len(pdf), L2).astype(np.int64)
+                ts = pdf["ts_us"].to_numpy()
+                langs = pdf["lang"].to_numpy()
+                hosts = pdf["host"].to_numpy()
+                for r in range(len(pdf)):
+                    fk = (langs[r], hosts[r])
+                    rec = np.empty(_FRAG_REC, np.int64)
+                    rec[0] = rec[1] = ts[r]
+                    rec[2] = 1
+                    rec[3:] = vecs[r]
+                    per_key.setdefault(fk, []).append(rec)
+                    touched_new_ts.setdefault(fk, []).append(int(ts[r]))
+        out_rows = {k: [] for k in
+                    ("lang", "host", "start", "end", "ndocs")}
+        out_mats = []
+        keep_keys, keep_mats, keep_meta = [], [], []
+        for fk, recs in per_key.items():
+            frags = _merge_frags(np.stack(recs), gap_us) \
+                if len(recs) > 1 else np.stack(recs)
+            nts = touched_new_ts.get(fk)
+            if nts:
+                nts = np.sort(np.array(nts, np.int64))
+                lo = np.searchsorted(nts, frags[:, 0], side="left")
+                hi = np.searchsorted(nts, frags[:, 1], side="right")
+                for i in np.flatnonzero(hi > lo):
+                    out_rows["lang"].append(fk[0])
+                    out_rows["host"].append(fk[1])
+                    out_rows["start"].append(frags[i, 0])
+                    out_rows["end"].append(frags[i, 1] + gap_us)
+                    out_rows["ndocs"].append(frags[i, 2])
+                    out_mats.append(frags[i, 3:])
+            open_mask = frags[:, 1] + gap_us > wm_ms * 1000
+            for i in np.flatnonzero(open_mask):
+                keep_keys.append(fk)
+                keep_meta.append(frags[i, :3])
+                keep_mats.append(frags[i, 3:])
+        if out_mats:
+            sub = np.stack(out_mats).astype(np.float64).reshape(
+                len(out_mats), config.GRAY_LEVELS, config.GRAY_LEVELS)
+            feats = kernel.haralick_batch(kernel.normalize_glcm(sub))
+            emit = pd.DataFrame({
+                "lang": out_rows["lang"], "host": out_rows["host"],
+                "session_start": pd.to_datetime(out_rows["start"],
+                                                unit="us"),
+                "session_end": pd.to_datetime(out_rows["end"],
+                                              unit="us"),
+                "n_docs": np.array(out_rows["ndocs"], np.int64),
+                **{k: v for k, v in feats.items()}})
+        else:
+            emit = None
+        if keep_keys:
+            km = np.stack(keep_meta)
+            state.update((_pack_bucket(keep_keys, np.stack(keep_mats),
+                                       km),))
+            try:
+                target = int((km[:, 1].min() + gap_us + 999) // 1000)
+                state.setTimeoutTimestamp(max(target, wm_ms + 1))
+            except Exception:
+                pass  # NoTimeout config (batch-style tests)
+        else:
+            state.remove()
+        if emit is not None:
+            yield emit
+    return accumulate_bucket_sessions
+
+
+def stateful_glcm_session_agg_bucketed(pages_stream: DataFrame,
+                                       gap: str = config.SESSION_GAP,
+                                       watermark: str =
+                                       config.WATERMARK_DELAY,
+                                       buckets: int = 128,
+                                       timeout: str =
+                                       GroupStateTimeout.EventTimeTimeout
+                                       ) -> DataFrame:
+    """Protocol-amortized session accumulation: emissions resolve via
+    final_sessions exactly like stateful_glcm_session_agg's (pure
+    execution-strategy fork; pinned by
+    test_bucketed_sessions_match_per_key)."""
+    gap_us = _duration_us(gap)
+    keyed = (pages_stream
+             .withWatermark("warc_ts", watermark)
+             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("ts_us", F.unix_micros("warc_ts"))
+             .withColumn("gvec", glcm_vec_udf()("html"))
+             .withColumn("bucket", F.pmod(
+                 F.xxhash64("lang", "host"), F.lit(buckets)))
+             .select("bucket", "lang", "host", "ts_us", "gvec",
+                     "warc_ts"))
+    return (keyed.groupBy("bucket")
+            .applyInPandasWithState(_bucket_session_state_fn(gap_us),
+                                    SESSION_OUTPUT_SCHEMA,
+                                    BUCKET_STATE_SCHEMA,
+                                    "update", timeout))
+
+
 def stateful_glcm_session_agg(pages_stream: DataFrame,
                               gap: str = config.SESSION_GAP,
                               watermark: str = config.WATERMARK_DELAY,

@@ -221,6 +221,29 @@ def test_stateful_glcm_session_matches_batch(spark, pages_dir):
         g.groupby(["lang", "host"]))  # some keys hold >1 session
 
 
+def test_bucketed_sessions_match_per_key(spark, pages_dir):
+    """The protocol-amortized session path's final_sessions resolution
+    must be row-for-row identical to the per-(lang, host) path's (pure
+    execution-strategy fork)."""
+    def run(fn, tag):
+        sdf = stream.pages_stream(spark, pages_dir,
+                                  max_files_per_trigger=2)
+        q = (fn(sdf).writeStream.format("memory").queryName(tag)
+             .outputMode("update")
+             .option("checkpointLocation", _scratch(f"ckpt_{tag}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return (state.final_sessions(spark.table(tag)).toPandas()
+                .sort_values(["lang", "host", "session_start"])
+                .reset_index(drop=True))
+
+    g = run(lambda s: state.stateful_glcm_session_agg_bucketed(
+        s, buckets=16), "sess_bkt")
+    e = run(state.stateful_glcm_session_agg, "sess_pk")
+    pd.testing.assert_frame_equal(g, e)
+    assert len(g) and g["n_docs"].sum() == 440
+
+
 def test_session_fragments_merge_out_of_order(spark):
     """An event arriving LATE (but inside the watermark) between two
     already-open fragments must bridge them into ONE session — fragment
@@ -357,6 +380,70 @@ def test_checkpoint_resume(spark, pages_dir):
                 .sort_values(["ws", "host"]).reset_index(drop=True))
 
     pd.testing.assert_frame_equal(final(table), final(table2))
+
+
+def test_checkpoint_resume_bucketed_and_session_state(spark, pages_dir):
+    """The round-4 state formats survive a genuine restart: the
+    bucketed path's packed multi-key blob and the session path's packed
+    fragment records must restore from checkpoint files (provider cache
+    dropped between legs) and continue accumulating — the resumed run's
+    final rows must equal the uninterrupted run's EXACTLY. A blob
+    pack/unpack asymmetry or a key-index rebuild bug would corrupt
+    counts here and nowhere else."""
+    files = sorted(os.listdir(pages_dir))
+
+    def _drain(sdf, ckpt, rows):
+        # memory sink can't recover from a checkpoint; collect
+        # update-mode emissions via foreachBatch like the windowed
+        # resume test's IcebergLite sink
+        q = (sdf.writeStream.outputMode("update")
+             .foreachBatch(lambda df, eid:
+                           rows.extend(df.toPandas().to_dict("records")))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def run_two_leg(fn, tag, finalize):
+        src = _scratch(f"res_{tag}_src")
+        ckpt = _scratch(f"res_{tag}_ckpt")
+        rows: list = []
+        for leg, fns in enumerate((files[:4], files[4:])):
+            for f in fns:
+                shutil.copy2(os.path.join(pages_dir, f), src)
+            _drain(fn(stream.pages_stream(spark, src)), ckpt, rows)
+            if leg == 0:
+                spark._jvm.org.apache.spark.sql.execution.streaming \
+                    .state.StateStore.stop()
+        return finalize(spark.createDataFrame(pd.DataFrame(rows)))
+
+    def run_straight(fn, tag, finalize):
+        rows: list = []
+        _drain(fn(stream.pages_stream(spark, pages_dir)),
+               _scratch(f"str_{tag}_ckpt"), rows)
+        return finalize(spark.createDataFrame(pd.DataFrame(rows)))
+
+    def fin_bucketed(t):
+        return (_latest_per_key(t, ["lang", "host", "window_start"])
+                .drop("n_batches")
+                .toPandas().sort_values(["lang", "host", "window_start"])
+                .reset_index(drop=True))
+
+    def fin_session(t):
+        return (state.final_sessions(t).toPandas()
+                .sort_values(["lang", "host", "session_start"])
+                .reset_index(drop=True))
+
+    bk = lambda s: state.stateful_glcm_agg_bucketed(s, buckets=16)
+    g = run_two_leg(bk, "bkt", fin_bucketed)
+    e = run_straight(bk, "bkt", fin_bucketed)
+    pd.testing.assert_frame_equal(g, e)
+    assert g["n_docs"].sum() == 440
+
+    g = run_two_leg(state.stateful_glcm_session_agg, "sess", fin_session)
+    e = run_straight(state.stateful_glcm_session_agg, "sess",
+                     fin_session)
+    pd.testing.assert_frame_equal(g, e)
+    assert g["n_docs"].sum() == 440
 
 
 # ---------------------------------------------------------------------------
