@@ -276,3 +276,56 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                 .drop("sa", "sb", "i", "u"))
     return verified.filter(F.col("jaccard") >= threshold) \
                    .withColumn("jaccard", F.round("jaccard", 4))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 30
+                         ) -> DataFrame:
+    """Connected components over an undirected near-duplicate pair
+    graph -> (id, component_id = min node id in the component): the
+    clustering step that turns pairwise near-dup EDGES (MinHash / LSH /
+    Jaccard output) into duplicate GROUPS a pipeline can keep-one-of.
+
+    Algorithm: distributed min-label propagation — every node starts
+    labeled with its own id; each round every node takes the min label
+    over itself and its neighbors (one symmetric-edge join + one
+    hash agg per round, all JVM-side); stop when no label changes.
+    Rounds needed = graph diameter, which for near-dup graphs is small
+    by construction (an edge requires >= threshold content overlap, so
+    components are recrawl cliques / short chains — the sf fixtures
+    converge in <= 3 rounds). For adversarially deep graphs the
+    alternating large-star/small-star contraction of Kiveris et al.
+    ("Connected Components in MapReduce and Beyond", SoCC 2014)
+    converges in O(log^2 n) rounds with the same per-round join+agg
+    shape; this module keeps the simpler propagation because the dedup
+    edge generators bound component diameter. The per-round driver-side
+    work is ONE scalar (the changed-label count for the convergence
+    test) — no row data ever reaches the driver.
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v"))))
+    labels = (sym.select(F.col("u").alias("id")).distinct()
+              .withColumn("label", F.col("id")).cache())
+    try:
+        for _ in range(max_iter):
+            nbr = (sym.join(labels.withColumnRenamed("id", "u"), "u")
+                   .select(F.col("v").alias("id"), "label"))
+            new = (labels.select("id", "label").union(nbr)
+                   .groupBy("id").agg(F.min("label").alias("label"))
+                   .cache())
+            changed = (new.join(labels.withColumnRenamed("label", "_o"),
+                                "id")
+                       .filter(F.col("label") != F.col("_o")).count())
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} "
+                "rounds — component diameter exceeds the dedup-graph "
+                "assumption; use star-contraction for this input")
+        return labels.select("id", F.col("label").alias("component_id"))
+    finally:
+        pass

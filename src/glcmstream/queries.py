@@ -2105,6 +2105,57 @@ def corpus_clean_stats(spark, sf_dir):
         F.round(F.avg("ntok"), 4).alias("avg_tokens"))
 
 
+@register("dedup_components", """
+WITH RECURSIVE words AS (
+  SELECT DISTINCT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+'))
+    AS w
+  FROM documents WHERE doc_id < 120),
+dfw AS (SELECT w, count(*) AS df FROM words GROUP BY w),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM words a JOIN words b ON a.w = b.w AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
+  JOIN dfw ON dfw.w = a.w
+  WHERE dfw.df <= 12),
+sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.id_a
+  JOIN words wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.30),
+und AS (SELECT id_a AS u, id_b AS v FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+cc(id, label) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION
+  SELECT und.u, cc.label FROM und JOIN cc ON cc.id = und.v)
+SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+FROM cc GROUP BY id
+""")
+def dedup_components(spark, sf_dir):
+    """Near-duplicate CLUSTERING: the word-Jaccard pair graph
+    (jaccard_word_pairs' exact edges) resolved into connected
+    components -> (doc_id, component_id = min doc id in the group),
+    the keep-one-of-each-group step of a training-data dedup pipeline.
+    Distributed min-label propagation (dedup.connected_components);
+    the DuckDB twin derives the identical edge set and closes it with
+    a recursive CTE, so the component assignment is value-checked
+    end-to-end."""
+    from . import dedup
+    edges = QUERIES["jaccard_word_pairs"](spark, sf_dir) \
+        .select("id_a", "id_b")
+    return (dedup.connected_components(edges)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("component_id").cast("bigint")
+                    .alias("component_id")))
+
+
 # ===========================================================================
 # Registry ordering for the driver's correctness sampler
 # ===========================================================================

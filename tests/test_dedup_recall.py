@@ -406,3 +406,35 @@ def test_ann_lsh_sf001_query_returns_rows(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.cosine >= 0.4
+
+def test_connected_components_synthetic_graphs(spark):
+    """Min-label propagation must resolve chains, stars, cliques and
+    singletons-by-absence correctly: components get the min member id,
+    arrival/edge order is irrelevant (symmetric closure), and the
+    convergence loop stops on its own (diameter rounds)."""
+    edges = [
+        # chain 1-2-3-4 (diameter 3: worst case for propagation)
+        (2, 1), (2, 3), (4, 3),
+        # star centered at 10
+        (10, 11), (12, 10), (10, 13),
+        # clique 20-21-22
+        (20, 21), (21, 22), (20, 22),
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {(r.id, r.component_id)
+           for r in dedup.connected_components(df).collect()}
+    exp = {(1, 1), (2, 1), (3, 1), (4, 1),
+           (10, 10), (11, 10), (12, 10), (13, 10),
+           (20, 20), (21, 20), (22, 20)}
+    assert got == exp
+    # jaccard-edge end-to-end: components of planted near-dup docs
+    pdf, planted = _mk_docs()
+    docs = spark.createDataFrame(pdf)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    labels = {r.id: r.component_id for r in comp.collect()}
+    # every recalled planted pair must share a component
+    recalled = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for a, b in planted:
+        if (a, b) in recalled:
+            assert labels[a] == labels[b]
