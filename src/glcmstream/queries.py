@@ -2105,6 +2105,63 @@ def corpus_clean_stats(spark, sf_dir):
         F.round(F.avg("ntok"), 4).alias("avg_tokens"))
 
 
+@register("iceberg_schema_evolution", f"""
+WITH {plan.PAGES_SQL_CTE},
+olds AS (
+  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS ntok
+  FROM pages WHERE doc_id % 2 = 0),
+news AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS ntok
+  FROM pages WHERE doc_id % 2 = 1),
+unioned AS (SELECT * FROM olds UNION ALL SELECT * FROM news)
+SELECT lang, count(*) AS n_rows,
+       CAST(sum(coalesce(ntok, 0)) AS BIGINT) AS ntok_sum,
+       CAST(sum(CASE WHEN ntok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pre_evolution
+FROM unioned GROUP BY lang
+""")
+def iceberg_schema_evolution(spark, sf_dir):
+    """Schema evolution across commits (Iceberg add-column contract):
+    epoch 0 writes (doc_id, lang), epoch 1 adds an ntok column; the
+    snapshot read surfaces the LATEST schema with NULL ntok for
+    pre-evolution rows — the oracle reproduces exactly that union, so a
+    reader that dropped old rows, lost the new column, or back-filled
+    anything but NULL hash-fails."""
+    import hashlib
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from .sink import IcebergLiteTable
+    _ensure_session_confs(spark)
+    tdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch",
+        "qevolve_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    if not os.path.isdir(tdir):
+        tmp = tdir + f".tmp-{_uuid.uuid4().hex[:8]}"
+        table = IcebergLiteTable(tmp)
+        pages = plan.pages_from_documents(spark, sf_dir)
+        table.commit(pages.filter(F.col("doc_id") % 2 == 0)
+                     .select("doc_id", "lang"), 0)
+        table.commit(pages.filter(F.col("doc_id") % 2 == 1)
+                     .select("doc_id", "lang",
+                             F.size(F.split(F.trim("text"), r"\s+"))
+                             .cast("bigint").alias("ntok")), 1)
+        try:
+            os.rename(tmp, tdir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent build won
+    table = IcebergLiteTable(tdir)
+    return (table.read(spark).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.coalesce("ntok", F.lit(0))).cast("bigint")
+                 .alias("ntok_sum"),
+                 F.sum(F.when(F.col("ntok").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_pre_evolution")))
+
+
 @register("dedup_components", """
 WITH RECURSIVE words AS (
   SELECT DISTINCT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+'))

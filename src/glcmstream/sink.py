@@ -235,7 +235,33 @@ class IcebergLiteTable:
             raise ValueError(f"no committed epochs in {self.table_dir}"
                              f" (as_of_epoch={as_of_epoch})")
         paths = [os.path.join(self.data_dir, f"epoch={e}") for e in epochs]
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        # Iceberg-style SCHEMA EVOLUTION (add/drop column): each manifest
+        # records its commit's schema; when the live epochs disagree, the
+        # snapshot's schema is the LATEST live manifest's — a column
+        # added later reads as NULL for older epochs (mergeSchema union
+        # scan), a column dropped later is invisible even though old
+        # files still hold it (projection below). Single-schema tables
+        # keep the plain scan (no mergeSchema footer pass). Type changes
+        # are NOT supported (Iceberg resolves those via field ids, which
+        # these manifests don't carry) — Spark's mergeSchema fails fast
+        # on them rather than guessing.
+        schemas = [json.dumps(json.load(open(self._manifest_path(e)))
+                              .get("schema"), sort_keys=True)
+                   for e in epochs]
+        if len(set(schemas)) <= 1:
+            return spark.read.option("basePath", self.data_dir) \
+                .parquet(*paths)
+        df = (spark.read.option("basePath", self.data_dir)
+              .option("mergeSchema", "true").parquet(*paths))
+        latest = json.load(open(self._manifest_path(epochs[-1])))["schema"]
+        want = [f["name"] for f in latest["fields"]]
+        # keep hidden partition-dir columns (e.g. warc_day) the scan adds
+        extras = [c for c in df.columns
+                  if c not in want and c not in
+                  {f["name"] for m in (json.load(open(self._manifest_path(e)))
+                                       for e in epochs)
+                   for f in m["schema"]["fields"]}]
+        return df.select(*(want + extras))
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         """Incremental (CDC-style) streaming read — the Iceberg streaming

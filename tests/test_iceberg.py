@@ -218,3 +218,38 @@ def test_lineage_keys_unique_for_partitioned_commit(spark, table):
     assert len(set(files)) == len(files) > 1
     assert len(set(pids)) == len(pids)
     assert sum(p["row_count"] for p in m["partitions"]) == 20
+
+
+def test_schema_evolution_add_and_drop_column(spark, table):
+    """Iceberg-style schema evolution: the snapshot's schema is the
+    latest live manifest's. A column added in a later commit reads as
+    NULL for older epochs; a column dropped later is invisible even
+    though old files still hold it; time travel resurrects the exact
+    historical schema per snapshot."""
+    base = _pages(spark, range(4), 1).select("url", "doc_id")
+    table.commit(base, 0)
+    widened = _pages(spark, range(4, 8), 1).select(
+        "url", "doc_id", F.col("doc_id").cast("double").alias("score"))
+    table.commit(widened, 1)
+
+    # latest snapshot: added column present, NULL for epoch-0 rows
+    # (epoch is the scan's hidden partition-dir column, always present)
+    df = table.read(spark)
+    assert set(df.columns) == {"url", "doc_id", "score", "epoch"}
+    rows = {r["doc_id"]: r["score"] for r in df.collect()}
+    assert len(rows) == 8
+    assert all(rows[i] is None for i in range(4))
+    assert all(rows[i] == float(i) for i in range(4, 8))
+
+    # time travel: epoch-0 snapshot has the ORIGINAL two-column schema
+    assert set(table.read(spark, as_of_epoch=0).columns) == \
+        {"url", "doc_id", "epoch"}
+
+    # drop a column in a third commit: invisible at the new snapshot,
+    # still visible when time-traveling to the wide snapshot
+    narrowed = _pages(spark, range(8, 10), 1).select("url", "doc_id")
+    table.commit(narrowed, 2)
+    assert set(table.read(spark).columns) == {"url", "doc_id", "epoch"}
+    assert set(table.read(spark, as_of_epoch=1).columns) == \
+        {"url", "doc_id", "score", "epoch"}
+    assert table.read(spark).count() == 10
