@@ -280,12 +280,19 @@ class IcebergLiteTable:
         epochs = self.committed_epochs()
         if not epochs:
             raise ValueError(f"no committed epochs in {self.table_dir}")
-        # target schema from the first manifest (all epochs share it)
+        # target schema = the LATEST live manifest's (schema evolution:
+        # the stream's output schema is the current snapshot's; files
+        # from pre-evolution epochs backfill later-added columns with
+        # NULL, and columns dropped later are simply not projected —
+        # the same contract as the batch read())
+        from pyspark.sql.pandas.types import to_arrow_type
         from pyspark.sql.types import StructType as _ST
-        schema = _ST.fromJson(self.manifests()[0]["schema"])
+        schema = _ST.fromJson(self.manifests()[-1]["schema"])
         ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                         for f in schema.fields)
         names = [f.name for f in schema.fields]
+        pa_types = {f.name: to_arrow_type(f.dataType)
+                    for f in schema.fields}
         ts_cols = [f.name for f in schema.fields
                    if f.dataType.simpleString().startswith("timestamp")]
 
@@ -293,9 +300,14 @@ class IcebergLiteTable:
             for mb in it:
                 for path in mb.column("path").to_pylist():
                     pf = pq2.ParquetFile(path)
+                    have = set(pf.schema_arrow.names)
                     for batch in pf.iter_batches(use_threads=False):
                         cols = []
                         for n in names:
+                            if n not in have:
+                                cols.append(pa.nulls(len(batch),
+                                                     type=pa_types[n]))
+                                continue
                             c = batch.column(n)
                             if n in ts_cols:
                                 c = c.cast(pa.timestamp("us"))

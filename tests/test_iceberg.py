@@ -253,3 +253,17 @@ def test_schema_evolution_add_and_drop_column(spark, table):
     assert set(table.read(spark, as_of_epoch=1).columns) == \
         {"url", "doc_id", "score", "epoch"}
     assert table.read(spark).count() == 10
+
+    # the incremental streaming read follows the same contract: latest
+    # schema out, NULL backfill for pre-evolution files
+    import tempfile
+    sdf = table.read_stream(spark)
+    qn = "evostream"
+    q = (sdf.writeStream.format("memory").queryName(qn)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_evo_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table(qn)
+    assert set(got.columns) == {"url", "doc_id"}  # latest (narrow) schema
+    assert got.count() == 10
