@@ -295,15 +295,18 @@ def _bucket_state_fn(window_us: int, retain_us: int = 3_600_000_000):
                 for r in range(len(pdf)):
                     fk = (langs[r], hosts[r], int(ws[r]))
                     rows_per_key.setdefault(fk, []).append(r)
-                # append state rows for unseen fine keys, then one
-                # vectorized scatter-add over the batch
-                for fk in rows_per_key:
-                    if fk not in index:
+                # append state rows for unseen fine keys (ONE vstack
+                # per chunk, not per key), then one vectorized
+                # scatter-add over the batch
+                new_fks = [fk for fk in rows_per_key if fk not in index]
+                if new_fks:
+                    for fk in new_fks:
                         index[fk] = len(keys)
                         keys.append((fk[0], fk[1]))
-                        meta = np.vstack([meta, [[fk[2], 0, 0]]])
-                        mats = np.vstack([mats,
-                                          np.zeros((1, L2), np.int64)])
+                    meta = np.vstack([meta, np.array(
+                        [[fk[2], 0, 0] for fk in new_fks], np.int64)])
+                    mats = np.vstack([mats, np.zeros(
+                        (len(new_fks), L2), np.int64)])
                 tgt = np.empty(len(pdf), np.int64)
                 for fk, rows in rows_per_key.items():
                     i = index[fk]
@@ -509,13 +512,15 @@ def _bucket_pane_state_fn(retain_us: int = 3_600_000_000):
                 for r in range(len(pdf)):
                     fk = (langs[r], hosts[r], int(ws[r]))
                     rows_per_key.setdefault(fk, []).append(r)
-                for fk in rows_per_key:
-                    if fk not in index:
+                new_fks = [fk for fk in rows_per_key if fk not in index]
+                if new_fks:
+                    for fk in new_fks:
                         index[fk] = len(keys)
                         keys.append((fk[0], fk[1]))
-                        meta = np.vstack([meta, [[fk[2], 0, 0]]])
-                        mats = np.vstack([mats,
-                                          np.zeros((1, L2), np.int64)])
+                    meta = np.vstack([meta, np.array(
+                        [[fk[2], 0, 0] for fk in new_fks], np.int64)])
+                    mats = np.vstack([mats, np.zeros(
+                        (len(new_fks), L2), np.int64)])
                 tgt = np.empty(len(pdf), np.int64)
                 for fk, rows in rows_per_key.items():
                     i = index[fk]
