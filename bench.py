@@ -43,6 +43,65 @@ def ensure_pages(n_docs: int) -> str:
     return d
 
 
+# ---------------------------------------------------------------------------
+# validity gates (round-4 verdict #1): the per-query bench used to run
+# once, unguarded, on a host with documented 2x no-steal throughput
+# swings — a +25% headline drift was indistinguishable from load. Port
+# BENCH/scaling.py's discipline: a fixed-work calibration probe (the
+# exact worker-side body of the fused stage, as an OS process pool — no
+# Spark) brackets the HEADLINE leg, /proc/stat steal brackets it too,
+# and the leg re-runs (bounded) until a clean window: steal <=
+# STEAL_MAX and pre/post probe agreement within PROBE_DRIFT_MAX. The
+# probe readings and every attempt land in the output JSON, so a drift
+# in BENCH_r{N}.json is attributable to code or to host — never guessed.
+# ---------------------------------------------------------------------------
+
+STEAL_MAX = 2.0          # % of the leg window stolen by the hypervisor
+PROBE_DRIFT_MAX = 1.35   # max pre/post probe ratio for a valid window
+HEADLINE_ATTEMPTS = 3
+
+_PROBE_SPLITS: list = []
+
+
+def _probe_work(split):
+    import pyarrow.parquet as pq
+    sys.path.insert(0, os.path.join(REPO, "src"))
+    from glcmstream import fused, kernel
+    path, rg = split
+    pf = pq.ParquetFile(path)
+    n = 0
+    for b in pf.iter_batches(batch_size=512, row_groups=[rg],
+                             columns=["html"], use_threads=False):
+        kernel.featurize_htmls(fused.binary_views(b.column("html")))
+        n += len(b)
+    return n
+
+
+def calibration_probe(pages_dir: str, nproc: int = None) -> float:
+    """Fixed-work host probe: featurize a pinned subset of the bench
+    fixture's row groups with a plain process pool. Returns docs/sec —
+    a pure host-throughput number with zero engine code in the loop."""
+    import multiprocessing as mproc
+    from glcmstream import fused
+    nproc = nproc or min(CPUS, os.cpu_count())
+    global _PROBE_SPLITS
+    if not _PROBE_SPLITS:
+        splits = fused._splits_by_cost(pages_dir)
+        _PROBE_SPLITS = [(p, rg) for p, rg, _ in splits[:4 * nproc]]
+    with mproc.Pool(nproc) as pool:
+        pool.map(_probe_work, _PROBE_SPLITS[:nproc], chunksize=1)  # warm
+        t0 = time.perf_counter()
+        n = sum(pool.map(_probe_work, _PROBE_SPLITS, chunksize=1))
+        dt = time.perf_counter() - t0
+    return round(n / dt, 1)
+
+
+def _read_steal() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return sum(v), (v[7] if len(v) > 7 else 0)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -88,17 +147,46 @@ def main() -> None:
           .option("checkpointLocation", wck)
           .trigger(availableNow=True).start())
     wq.awaitTermination()
-    t0 = time.perf_counter()
-    feats = fused.fused_features_stream(spark, pages_dir, mdir,
-                                        max_files_per_trigger=None,
-                                        parallelism=4 * CPUS)
-    agg = stream.windowed_agg_over_features(feats)
-    q = (agg.writeStream.format("memory").queryName("bench_winagg")
-         .outputMode("complete").option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    n_out = spark.table("bench_winagg").count()
-    t_stream = time.perf_counter() - t0
+
+    def headline_leg(tag: str) -> tuple[float, int]:
+        c = os.path.join(SCRATCH, f"bench_ckpt_fused_{tag}")
+        shutil.rmtree(c, ignore_errors=True)
+        t0 = time.perf_counter()
+        feats = fused.fused_features_stream(spark, pages_dir, mdir,
+                                            max_files_per_trigger=None,
+                                            parallelism=4 * CPUS)
+        agg = stream.windowed_agg_over_features(feats)
+        q = (agg.writeStream.format("memory")
+             .queryName(f"bench_winagg_{tag}")
+             .outputMode("complete").option("checkpointLocation", c)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        n = spark.table(f"bench_winagg_{tag}").count()
+        return time.perf_counter() - t0, n
+
+    # gated headline: retry until a clean window (steal + probe drift),
+    # publish the last attempt either way with the window verdict
+    attempts = []
+    window_ok = False
+    for att in range(HEADLINE_ATTEMPTS):
+        probe_pre = calibration_probe(pages_dir)
+        tot0, st0 = _read_steal()
+        t_stream, n_out = headline_leg(f"a{att}")
+        tot1, st1 = _read_steal()
+        steal_pct = round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2)
+        probe_post = calibration_probe(pages_dir)
+        drift = round(max(probe_pre, probe_post)
+                      / max(1e-9, min(probe_pre, probe_post)), 3)
+        attempts.append({"sec": round(t_stream, 3),
+                         "steal_pct": steal_pct,
+                         "probe_pre": probe_pre,
+                         "probe_post": probe_post, "drift": drift})
+        print(f"headline attempt {att}: {t_stream:.2f}s steal "
+              f"{steal_pct}% probe {probe_pre}->{probe_post} "
+              f"(drift {drift})", file=sys.stderr)
+        if steal_pct <= STEAL_MAX and drift <= PROBE_DRIFT_MAX:
+            window_ok = True
+            break
     timings["glcm_stream_windowed_fused"] = round(t_stream, 3)
     assert n_out > 0
 
@@ -201,18 +289,75 @@ def main() -> None:
     # measured 15 s on a 400-doc fixture, i.e. all fixed cost. One epoch
     # pays it once; on a continuous production stream it amortizes to
     # zero. -------------------------------------------------------------------
+    # round-4 verdict #7: the drain's fixed cost is 4 state stores x
+    # shuffle partitions RocksDB opens per epoch; at fixture scale the
+    # join work itself is tiny, so the leg scopes shuffle partitions to
+    # 8 (4 x 8 = 32 opens instead of 128). Streaming shuffle width is
+    # baked into the checkpoint at first start — the fresh checkpoint
+    # makes the scoped value take effect, and the PRODUCTION default
+    # stays the session's (32+): a real backlog amortizes the store
+    # opens and wants the wider exchange. Join results are unchanged —
+    # partitioning only moves rows among tasks.
     ckpt3 = os.path.join(SCRATCH, "bench_ckpt_recrawl")
     shutil.rmtree(ckpt3, ignore_errors=True)
     t0 = time.perf_counter()
-    sdf3 = stream.pages_stream(spark, pages_dir,
-                               max_files_per_trigger=None)
-    j = stream.recrawl_stream_join(sdf3)
-    q3 = (j.writeStream.format("memory").queryName("bench_recrawl_s")
-          .outputMode("append").option("checkpointLocation", ckpt3)
-          .trigger(availableNow=True).start())
-    q3.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sdf3 = stream.pages_stream(spark, pages_dir,
+                                   max_files_per_trigger=None)
+        j = stream.recrawl_stream_join(sdf3)
+        q3 = (j.writeStream.format("memory").queryName("bench_recrawl_s")
+              .outputMode("append").option("checkpointLocation", ckpt3)
+              .trigger(availableNow=True).start())
+        q3.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(max(CPUS, 16)))
     assert spark.table("bench_recrawl_s").count() > 0
     timings["recrawl_stream_join"] = round(time.perf_counter() - t0, 3)
+
+    # --- fused vs classic at REALISTIC page sizes (round-4 verdict #5:
+    # the 100 TB argument — worker-side row-group reads keep page bytes
+    # out of the JVM/Arrow pipe — was asserted from a 45 KiB scaling
+    # fixture but never A/B-measured in bench. ~45 KiB/doc pages at a
+    # scaled doc count, one availableNow epoch each, identical windowed
+    # agg; the separation (or its absence) lands in BENCH_r{N}.json.
+    from glcmstream import fixtures as _fx
+    big_docs = int(os.environ.get("GLCM_BIGPAGE_DOCS", "12000"))
+    bigdir = os.path.join(SCRATCH, f"bench_pages_big_{big_docs}_rg256")
+    if not os.path.exists(os.path.join(bigdir, "part-0015.parquet")):
+        shutil.rmtree(bigdir, ignore_errors=True)
+        _fx.write_pages_parquet(bigdir, n_docs=big_docs, n_files=16,
+                                min_tokens=5000, max_tokens=9000,
+                                row_group_rows=256)
+    bmdir = os.path.join(SCRATCH, f"bench_manifests_big_{big_docs}")
+    fused.write_split_manifests(bigdir, bmdir)
+    ckpt_bf = os.path.join(SCRATCH, "bench_ckpt_bigf")
+    shutil.rmtree(ckpt_bf, ignore_errors=True)
+    t0 = time.perf_counter()
+    bfeats = fused.fused_features_stream(spark, bigdir, bmdir,
+                                         max_files_per_trigger=None,
+                                         parallelism=4 * CPUS)
+    qbf = (stream.windowed_agg_over_features(bfeats)
+           .writeStream.outputMode("update")
+           .foreachBatch(lambda df, eid: df.count())
+           .option("checkpointLocation", ckpt_bf)
+           .trigger(availableNow=True).start())
+    qbf.awaitTermination()
+    timings["glcm_windowed_fused_bigpage"] = round(
+        time.perf_counter() - t0, 3)
+    ckpt_bc = os.path.join(SCRATCH, "bench_ckpt_bigc")
+    shutil.rmtree(ckpt_bc, ignore_errors=True)
+    t0 = time.perf_counter()
+    sdfb = stream.pages_stream(spark, bigdir, max_files_per_trigger=None)
+    qbc = (stream.windowed_feature_agg(sdfb)
+           .writeStream.outputMode("complete")
+           .foreachBatch(lambda df, eid: df.count())
+           .option("checkpointLocation", ckpt_bc)
+           .trigger(availableNow=True).start())
+    qbc.awaitTermination()
+    timings["glcm_windowed_classic_bigpage"] = round(
+        time.perf_counter() - t0, 3)
 
     # --- ANN LSH at a 25x embedding fixture (round-3 verdict #8:
     # evidence lsh_geometry's scaling — bits grow, runtime stays near-
@@ -253,6 +398,9 @@ def main() -> None:
                   "+ operator suite)",
         "value": total, "unit": "sec", "queries": timings, "sf": SF,
         "docs_per_sec": docs_per_sec, "n_docs": n_pages, "cpus": CPUS,
+        "window": {"valid": window_ok, "steal_max_pct": STEAL_MAX,
+                   "probe_drift_max": PROBE_DRIFT_MAX,
+                   "headline_attempts": attempts},
     }))
 
 

@@ -31,7 +31,7 @@ GOLDEN_QUERIES = [
     "glcm_lang_profile", "rendertile_profile",
     "streaming_stateful_glcm", "streaming_stateful_glcm_fused",
     "streaming_stateful_glcm_bucketed", "streaming_stateful_glcm_sliding",
-    "streaming_stateful_glcm_session",
+    "streaming_stateful_glcm_session", "streaming_sliding_continuous",
     "minhash_lsh_dedup", "simhash_near_pairs", "simhash_buckets",
     "ann_lsh_pairs", "ivf_topk_cosine", "approx_distinct_parts",
 ]

@@ -51,7 +51,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 def with_host(df: DataFrame, url_col: str = "url") -> Column | DataFrame:
     """host key extraction — built-in parse_url, JVM-side."""
-    return df.withColumn("host", F.parse_url(F.col(url_col), F.lit("HOST")))
+    return df.withColumn("host", F.try_parse_url(F.col(url_col), F.lit("HOST")))
 
 
 def featurize(pages: DataFrame, parallelism: int | None = None) -> DataFrame:

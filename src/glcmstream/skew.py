@@ -34,10 +34,16 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
             summary = vc if summary is None else \
                 summary.add(vc, fill_value=0)
             if len(summary) > k:
-                # MG decrement: subtract the (k+1)-th largest count,
-                # drop the non-positives — at most k counters survive
+                # MG decrement: subtract the (k+1)-th largest count
+                # from EVERY counter, drop the non-positives — at most
+                # k survive, and each survivor's count is reduced so
+                # stale counters decay as the MG bound requires
+                # (keeping survivors at full count breaks the
+                # superset guarantee: a heavy key arriving after large
+                # stale counters would be cut repeatedly)
                 cut = summary.nlargest(k + 1).iloc[-1]
-                summary = summary[summary > cut]
+                summary = summary - cut
+                summary = summary[summary > 0]
         if summary is not None and len(summary):
             yield pd.DataFrame({col: summary.index[:k]})
 

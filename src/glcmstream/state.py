@@ -29,6 +29,7 @@ not ship.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -158,7 +159,7 @@ def stateful_glcm_agg(pages_stream: DataFrame,
     kernel run, and page bodies never cross a shuffle."""
     keyed = (pages_stream
              .withWatermark("warc_ts", watermark)
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("window_start",
                          F.window("warc_ts", window).start)
              .withColumn("gvec", glcm_vec_udf()("html"))
@@ -189,7 +190,7 @@ def stateful_glcm_agg_fused(gvec_stream: DataFrame,
     the scaling ceiling (see fused.py module docstring)."""
     keyed = (gvec_stream
              .withWatermark("warc_ts", watermark)
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("window_start",
                          F.window("warc_ts", window).start)
              .select("lang", "host", "window_start", "gvec", "warc_ts"))
@@ -235,14 +236,28 @@ BUCKET_STATE_SCHEMA = StructType([
 ])
 
 
+_NULL_LEN = 0xFFFF  # length sentinel: a None key component (e.g.
+# F.try_parse_url returns NULL for malformed URLs — plain parse_url
+# THROWS under Spark 4 ANSI, killing the stream, so every host
+# extraction in this engine uses the try_ variant). Encoding None in the
+# blob keeps the bucketed paths semantically identical to the per-key
+# paths, which handle null grouping keys natively (round-4 advice #2);
+# real components are bounded at 0xFFFE bytes (hosts/langs are tiny).
+
+
+def _enc_key(s) -> bytes:
+    if s is None:
+        return _NULL_LEN.to_bytes(2, "little")
+    b = s.encode()
+    return len(b).to_bytes(2, "little") + b
+
+
 def _pack_bucket(keys: list, mats: np.ndarray, meta: np.ndarray) -> bytes:
     """keys: [(lang, host)], meta: (n,3) int64 [ws_us, n_docs,
     n_batches], mats: (n, L2) int64."""
     parts = []
     for (lang, host), m, mt in zip(keys, mats, meta):
-        lb, hb = lang.encode(), host.encode()
-        parts.append(len(lb).to_bytes(2, "little") + lb
-                     + len(hb).to_bytes(2, "little") + hb
+        parts.append(_enc_key(lang) + _enc_key(host)
                      + mt.astype("<i8").tobytes()
                      + m.astype("<i8").tobytes())
     return b"".join(parts)
@@ -253,9 +268,11 @@ def _unpack_bucket(buf: bytes):
     off, n = 0, len(buf)
     while off < n:
         ll = int.from_bytes(buf[off:off + 2], "little"); off += 2
-        lang = buf[off:off + ll].decode(); off += ll
+        lang = None if ll == _NULL_LEN else buf[off:off + ll].decode()
+        off += 0 if ll == _NULL_LEN else ll
         hl = int.from_bytes(buf[off:off + 2], "little"); off += 2
-        host = buf[off:off + hl].decode(); off += hl
+        host = None if hl == _NULL_LEN else buf[off:off + hl].decode()
+        off += 0 if hl == _NULL_LEN else hl
         metas.append(np.frombuffer(buf, dtype="<i8", count=3, offset=off))
         off += 24
         mats.append(np.frombuffer(buf, dtype="<i8", count=L2, offset=off))
@@ -264,6 +281,36 @@ def _unpack_bucket(buf: bytes):
     if not keys:
         return [], np.zeros((0, 3), np.int64), np.zeros((0, L2), np.int64)
     return keys, np.stack(metas).copy(), np.stack(mats).copy()
+
+
+def _batch_key_groups(pdf: pd.DataFrame, with_window: bool = True):
+    """Vectorized fine-key grouping for one Arrow chunk (round-4 verdict
+    #2: the per-row dict loop was the bucketed paths' own declared
+    anti-pattern). Factorizes lang/host(/ws_us) into fused integer codes
+    — use_na_sentinel=False so a NULL component gets its own code
+    instead of -1 (which would collide across columns under the mixed
+    radix) — then one np.unique gives each row's group code and each
+    group's first row. Python work is O(unique keys per batch), never
+    O(rows). Returns (uniq_keys, inv, docs): uniq_keys[j] is the fine
+    key of group j ((lang, host, ws_us) or (lang, host)), inv[r] the
+    group code of row r, docs[j] the row count of group j."""
+    lc, _ = pd.factorize(pdf["lang"], use_na_sentinel=False)
+    hc, hu = pd.factorize(pdf["host"], use_na_sentinel=False)
+    comb = lc.astype(np.int64) * len(hu) + hc
+    if with_window:
+        ws = pdf["ws_us"].to_numpy(np.int64)
+        wc, wu = pd.factorize(ws, use_na_sentinel=False)
+        comb = comb * len(wu) + wc
+    uc, first_idx, inv = np.unique(comb, return_index=True,
+                                   return_inverse=True)
+    langs = pdf["lang"].to_numpy()
+    hosts = pdf["host"].to_numpy()
+    if with_window:
+        uniq = [(langs[r], hosts[r], int(ws[r])) for r in first_idx]
+    else:
+        uniq = [(langs[r], hosts[r]) for r in first_idx]
+    docs = np.bincount(inv, minlength=len(uc))
+    return uniq, inv, docs
 
 
 def _bucket_state_fn(window_us: int, retain_us: int = 3_600_000_000):
@@ -288,17 +335,11 @@ def _bucket_state_fn(window_us: int, retain_us: int = 3_600_000_000):
                     continue
                 vecs = np.frombuffer(b"".join(pdf["gvec"]), dtype="<u4") \
                     .reshape(len(pdf), L2).astype(np.int64)
-                ws = pdf["ws_us"].to_numpy()
-                langs = pdf["lang"].to_numpy()
-                hosts = pdf["host"].to_numpy()
-                rows_per_key: dict = {}
-                for r in range(len(pdf)):
-                    fk = (langs[r], hosts[r], int(ws[r]))
-                    rows_per_key.setdefault(fk, []).append(r)
+                uniq, inv, docs = _batch_key_groups(pdf)
                 # append state rows for unseen fine keys (ONE vstack
                 # per chunk, not per key), then one vectorized
                 # scatter-add over the batch
-                new_fks = [fk for fk in rows_per_key if fk not in index]
+                new_fks = [fk for fk in uniq if fk not in index]
                 if new_fks:
                     for fk in new_fks:
                         index[fk] = len(keys)
@@ -307,15 +348,15 @@ def _bucket_state_fn(window_us: int, retain_us: int = 3_600_000_000):
                         [[fk[2], 0, 0] for fk in new_fks], np.int64)])
                     mats = np.vstack([mats, np.zeros(
                         (len(new_fks), L2), np.int64)])
-                tgt = np.empty(len(pdf), np.int64)
-                for fk, rows in rows_per_key.items():
-                    i = index[fk]
-                    tgt[rows] = i
-                    meta[i, 1] += len(rows)
-                    meta[i, 2] += 1
+                sidx = np.array([index[fk] for fk in uniq], np.int64)
+                tgt = sidx[inv]
                 np.add.at(mats, tgt, vecs)
-                for fk in rows_per_key:
-                    touched[index[fk]] = True
+                # sidx has no duplicates (uniq is per-batch unique), so
+                # the fancy-index += accumulates correctly
+                meta[sidx, 1] += docs
+                meta[sidx, 2] += 1
+                for i in sidx:
+                    touched[int(i)] = True
         if touched:
             ti = sorted(touched)
             sub = mats[ti].astype(np.float64) \
@@ -367,7 +408,7 @@ def stateful_glcm_agg_bucketed(pages_stream: DataFrame,
     w_us = _duration_us(window)
     keyed = (pages_stream
              .withWatermark("warc_ts", watermark)
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("ws_us", F.unix_micros(
                  F.window("warc_ts", window).start))
              .withColumn("gvec", glcm_vec_udf()("html"))
@@ -466,7 +507,7 @@ def stateful_glcm_pane_agg(pages_stream: DataFrame,
     the same stateful machinery as the tumbling path, emitting counts."""
     keyed = (pages_stream
              .withWatermark("warc_ts", watermark)
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("pane_start",
                          F.window("warc_ts", slide).start)
              .withColumn("gvec", glcm_vec_udf()("html"))
@@ -505,14 +546,8 @@ def _bucket_pane_state_fn(retain_us: int = 3_600_000_000):
                     continue
                 vecs = np.frombuffer(b"".join(pdf["gvec"]), dtype="<u4") \
                     .reshape(len(pdf), L2).astype(np.int64)
-                ws = pdf["ws_us"].to_numpy()
-                langs = pdf["lang"].to_numpy()
-                hosts = pdf["host"].to_numpy()
-                rows_per_key: dict = {}
-                for r in range(len(pdf)):
-                    fk = (langs[r], hosts[r], int(ws[r]))
-                    rows_per_key.setdefault(fk, []).append(r)
-                new_fks = [fk for fk in rows_per_key if fk not in index]
+                uniq, inv, docs = _batch_key_groups(pdf)
+                new_fks = [fk for fk in uniq if fk not in index]
                 if new_fks:
                     for fk in new_fks:
                         index[fk] = len(keys)
@@ -521,15 +556,13 @@ def _bucket_pane_state_fn(retain_us: int = 3_600_000_000):
                         [[fk[2], 0, 0] for fk in new_fks], np.int64)])
                     mats = np.vstack([mats, np.zeros(
                         (len(new_fks), L2), np.int64)])
-                tgt = np.empty(len(pdf), np.int64)
-                for fk, rows in rows_per_key.items():
-                    i = index[fk]
-                    tgt[rows] = i
-                    meta[i, 1] += len(rows)
-                    meta[i, 2] += 1
+                sidx = np.array([index[fk] for fk in uniq], np.int64)
+                tgt = sidx[inv]
                 np.add.at(mats, tgt, vecs)
-                for fk in rows_per_key:
-                    touched[index[fk]] = True
+                meta[sidx, 1] += docs
+                meta[sidx, 2] += 1
+                for i in sidx:
+                    touched[int(i)] = True
         if touched:
             ti = sorted(touched)
             out = pd.DataFrame({
@@ -571,7 +604,7 @@ def stateful_glcm_pane_agg_bucketed(pages_stream: DataFrame,
     keyed by hash bucket."""
     keyed = (pages_stream
              .withWatermark("warc_ts", watermark)
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("ws_us", F.unix_micros(
                  F.window("warc_ts", slide).start))
              .withColumn("gvec", glcm_vec_udf()("html"))
@@ -707,7 +740,7 @@ def batch_glcm_agg_sliding(pages: DataFrame,
             "n_docs": len(pdf), **feats}])
 
     keyed = (pages
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("_i", F.explode(F.array(
                  *[F.lit(i) for i in range(r)])))
              .withColumn("window_start", F.timestamp_micros(
@@ -717,6 +750,170 @@ def batch_glcm_agg_sliding(pages: DataFrame,
              .select("lang", "host", "window_start", "html"))
     return (keyed.groupBy("lang", "host", "window_start")
             .applyInPandas(agg_group, SLIDING_OUTPUT_SCHEMA))
+
+
+class ContinuousSlidingEmitter:
+    """Per-EPOCH closed-window emission for the pane-based sliding path
+    (round-4 verdict #3: finalize_sliding_windows used to run only as a
+    batch pass after the drain — exact, but all emission latency was
+    deferred to the end). Drive the pane stream's foreachBatch through
+    `process`; each epoch upserts the new pane count vectors into a
+    parquet pane store and emits every window the watermark has closed
+    since the previous epoch; `flush` emits only the tail after drain.
+
+    Watermark proxy (no access to the engine's internal watermark from
+    foreachBatch): a touched pane proves an event with ts >= pane_start
+    existed, so max(pane_start) over epochs < e is a LOWER bound on the
+    event-time maximum Spark computed its epoch-e watermark from; bound
+    - delay <= true watermark. Emitting a window only once the proxy
+    passes its end is therefore conservative — the true watermark has
+    passed every pane of the window, so its counts are final — and late
+    by at most one slide + one epoch, never wrong. Windows are selected
+    by a monotone emit bound (prev < end <= new), so each window emits
+    EXACTLY once, through IcebergLiteTable's idempotent epoch commit;
+    the emitter's own scalars (bound, event-ts proxy) persist in a
+    meta json rewritten before each commit, so a crash-restart resumes
+    without re-emitting (replayed epochs no-op on the manifest check).
+
+    Scale shape: the store holds only OPEN panes (panes whose every
+    containing window has emitted are pruned by the same bound), i.e.
+    O(active keys x L/S) rows of 8 KiB — corpus-size independent; the
+    per-epoch assembly reuses finalize_sliding_windows' reduceat path
+    over that bounded store."""
+
+    def __init__(self, table, length: str = config.SLIDING_WINDOW[0],
+                 slide: str = config.SLIDING_WINDOW[1],
+                 watermark: str = config.WATERMARK_DELAY):
+        import json as _json
+        self.table = table
+        self.l_us = _duration_us(length)
+        self.s_us = _duration_us(slide)
+        self.delay_us = _duration_us(watermark)
+        self._meta_path = os.path.join(table.table_dir,
+                                       "_sliding_meta.json")
+        self._store_base = os.path.join(table.table_dir, "_panestore")
+        self.emit_bound_us = None   # all windows with end <= this emitted
+        self.event_lb_us = None     # max pane_start over PAST epochs
+        self._store_v = -1
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                m = _json.load(f)
+            self.emit_bound_us = m["emit_bound_us"]
+            self.event_lb_us = m["event_lb_us"]
+            self._store_v = m["store_v"]
+
+    def _store_dir(self, v: int) -> str:
+        return f"{self._store_base}_v{v}"
+
+    def _save_meta(self) -> None:
+        import json as _json
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"emit_bound_us": self.emit_bound_us,
+                        "event_lb_us": self.event_lb_us,
+                        "store_v": self._store_v}, f)
+        os.replace(tmp, self._meta_path)
+
+    def _read_store(self, spark):
+        if self._store_v < 0:
+            return None
+        return spark.read.parquet(self._store_dir(self._store_v))
+
+    def _write_store(self, df) -> None:
+        import shutil as _shutil
+        new_v = self._store_v + 1
+        df.write.mode("overwrite").parquet(self._store_dir(new_v))
+        if self._store_v >= 0:
+            _shutil.rmtree(self._store_dir(self._store_v),
+                           ignore_errors=True)
+        self._store_v = new_v
+
+    def _emit(self, spark, lo_us: int | None, hi_us: int,
+              epoch_id: int) -> None:
+        """Assemble + commit windows with end in (lo_us, hi_us]."""
+        store = self._read_store(spark)
+        if store is None:
+            return
+        wins = finalize_sliding_windows(
+            store.withColumn("pane_start",
+                             F.timestamp_micros("pane_start")))
+        end_us = F.unix_micros("window_start") + F.lit(self.l_us)
+        cond = end_us <= F.lit(hi_us)
+        if lo_us is not None:
+            cond = cond & (end_us > F.lit(lo_us))
+        sel = wins.filter(cond).cache()
+        try:
+            if sel.count() > 0:
+                self.table.commit(sel, epoch_id)
+        finally:
+            sel.unpersist()
+
+    def process(self, batch_df, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (batch_df
+               .select("lang", "host",
+                       F.unix_micros("pane_start").alias("pane_start"),
+                       "counts", "n_docs"))
+        old = self._read_store(spark)
+        merged = latest_panes(new if old is None else old.union(new)
+                              ).select("lang", "host", "pane_start",
+                                       "counts", "n_docs")
+        # prune panes whose every containing window has emitted
+        if self.emit_bound_us is not None:
+            merged = merged.filter(
+                F.col("pane_start") + self.l_us > self.emit_bound_us)
+        self._write_store(merged)
+        # close windows under the PRE-ingest watermark proxy (panes seen
+        # in epochs < e bound the event max Spark derived this epoch's
+        # watermark from)
+        wm_lower = (None if self.event_lb_us is None
+                    else self.event_lb_us - self.delay_us)
+        lo = self.emit_bound_us
+        batch_max = (new.agg(F.max("pane_start")).collect()[0][0])
+        if batch_max is not None:
+            self.event_lb_us = max(self.event_lb_us or batch_max,
+                                   batch_max)
+        if wm_lower is not None and (lo is None or wm_lower > lo):
+            # COMMIT before advancing the persisted bound: a crash in
+            # between replays the epoch, the idempotent table commit
+            # no-ops, and the bound then advances — the reverse order
+            # could advance the bound past windows never committed
+            self._emit(spark, lo, wm_lower, epoch_id)
+            self.emit_bound_us = wm_lower
+        self._save_meta()
+
+    def flush(self, spark, epoch_id: int = 1 << 40) -> None:
+        """Drain tail: emit every still-open window exactly once."""
+        lo = self.emit_bound_us
+        hi = (1 << 60)
+        self._emit(spark, lo, hi, epoch_id)
+        self.emit_bound_us = hi
+        self._save_meta()
+
+
+def sliding_glcm_stream_continuous(pages_stream: DataFrame, table,
+                                   checkpoint_dir: str,
+                                   length: str = config.SLIDING_WINDOW[0],
+                                   slide: str = config.SLIDING_WINDOW[1],
+                                   watermark: str = config.WATERMARK_DELAY,
+                                   buckets: int = 128):
+    """End-to-end continuous sliding pipeline: bucketed pane
+    accumulation -> per-epoch closed-window emission into an
+    IcebergLiteTable -> drain-tail flush. Returns the emitter (its
+    table holds the emitted windows, epoch-stamped)."""
+    em = ContinuousSlidingEmitter(table, length=length, slide=slide,
+                                  watermark=watermark)
+    panes = stateful_glcm_pane_agg_bucketed(pages_stream, slide=slide,
+                                            watermark=watermark,
+                                            buckets=buckets)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    q = (panes.writeStream.outputMode("update")
+         .option("checkpointLocation", checkpoint_dir)
+         .foreachBatch(em.process)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    em.flush(pages_stream.sparkSession)
+    return em
 
 
 # ===========================================================================
@@ -881,11 +1078,22 @@ def _bucket_session_state_fn(gap_us: int):
             wm_ms = state.getCurrentWatermarkMs()
         except Exception:
             wm_ms = 0
-        # fragments per fine key: {(lang, host): (n,1+1+1+L2) array}
+        # fragments per fine key: {(lang, host): [(k, _FRAG_REC) block]}
+        # — state fragments grouped with ONE concatenate + factorize,
+        # batch rows turned into ONE (n, _FRAG_REC) block per chunk and
+        # sliced per key (round-4 verdict #2: the old path allocated an
+        # 8 KiB record per document inside a per-row loop)
         per_key: dict = {}
-        for k, m, mat in zip(keys, meta, mats):
-            rec = np.concatenate([m, mat])
-            per_key.setdefault(k, []).append(rec)
+        if keys:
+            sfrags = np.concatenate([meta, mats], axis=1)
+            karr = np.empty(len(keys), object)
+            karr[:] = keys
+            kc, ku = pd.factorize(karr, use_na_sentinel=False)
+            order = np.argsort(kc, kind="stable")
+            bounds = np.searchsorted(kc[order],
+                                     np.arange(len(ku) + 1))
+            for j, fk in enumerate(ku):
+                per_key[fk] = [sfrags[order[bounds[j]:bounds[j + 1]]]]
         touched_new_ts: dict = {}
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -893,27 +1101,32 @@ def _bucket_session_state_fn(gap_us: int):
                     continue
                 vecs = np.frombuffer(b"".join(pdf["gvec"]), dtype="<u4") \
                     .reshape(len(pdf), L2).astype(np.int64)
-                ts = pdf["ts_us"].to_numpy()
-                langs = pdf["lang"].to_numpy()
-                hosts = pdf["host"].to_numpy()
-                for r in range(len(pdf)):
-                    fk = (langs[r], hosts[r])
-                    rec = np.empty(_FRAG_REC, np.int64)
-                    rec[0] = rec[1] = ts[r]
-                    rec[2] = 1
-                    rec[3:] = vecs[r]
-                    per_key.setdefault(fk, []).append(rec)
-                    touched_new_ts.setdefault(fk, []).append(int(ts[r]))
+                ts = pdf["ts_us"].to_numpy(np.int64)
+                recs = np.empty((len(pdf), _FRAG_REC), np.int64)
+                recs[:, 0] = ts
+                recs[:, 1] = ts
+                recs[:, 2] = 1
+                recs[:, 3:] = vecs
+                uniq, inv, _docs = _batch_key_groups(pdf,
+                                                     with_window=False)
+                order = np.argsort(inv, kind="stable")
+                bounds = np.searchsorted(inv[order],
+                                         np.arange(len(uniq) + 1))
+                for j, fk in enumerate(uniq):
+                    rows = order[bounds[j]:bounds[j + 1]]
+                    per_key.setdefault(fk, []).append(recs[rows])
+                    touched_new_ts.setdefault(fk, []).append(ts[rows])
         out_rows = {k: [] for k in
                     ("lang", "host", "start", "end", "ndocs")}
         out_mats = []
         keep_keys, keep_mats, keep_meta = [], [], []
-        for fk, recs in per_key.items():
-            frags = _merge_frags(np.stack(recs), gap_us) \
-                if len(recs) > 1 else np.stack(recs)
+        for fk, blocks in per_key.items():
+            allf = np.concatenate(blocks) if len(blocks) > 1 \
+                else blocks[0]
+            frags = _merge_frags(allf, gap_us) if len(allf) > 1 else allf
             nts = touched_new_ts.get(fk)
-            if nts:
-                nts = np.sort(np.array(nts, np.int64))
+            if nts is not None:
+                nts = np.sort(np.concatenate(nts))
                 lo = np.searchsorted(nts, frags[:, 0], side="left")
                 hi = np.searchsorted(nts, frags[:, 1], side="right")
                 for i in np.flatnonzero(hi > lo):
@@ -973,7 +1186,7 @@ def stateful_glcm_session_agg_bucketed(pages_stream: DataFrame,
     gap_us = _duration_us(gap)
     keyed = (pages_stream
              .withWatermark("warc_ts", watermark)
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("ts_us", F.unix_micros("warc_ts"))
              .withColumn("gvec", glcm_vec_udf()("html"))
              .withColumn("bucket", F.pmod(
@@ -1000,7 +1213,7 @@ def stateful_glcm_session_agg(pages_stream: DataFrame,
     gap_us = _duration_us(gap)
     keyed = (pages_stream
              .withWatermark("warc_ts", watermark)
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("ts_us", F.unix_micros("warc_ts"))
              .withColumn("gvec", glcm_vec_udf()("html"))
              .select("lang", "host", "ts_us", "gvec", "warc_ts"))
@@ -1063,7 +1276,7 @@ def batch_glcm_agg_session(pages: DataFrame,
         return pd.DataFrame(rows)
 
     keyed = (pages
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("ts_us", F.unix_micros("warc_ts"))
              .select("lang", "host", "ts_us", "html"))
     return keyed.groupBy("lang", "host") \
@@ -1084,7 +1297,7 @@ def batch_glcm_agg(pages: DataFrame) -> DataFrame:
             "n_docs": len(pdf), "n_batches": 1, **feats}])
 
     keyed = (pages
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("window_start",
                          F.window("warc_ts", config.TUMBLING_WINDOW).start)
              .select("lang", "host", "window_start", "html"))

@@ -68,7 +68,7 @@ def windowed_agg_over_features(feats: DataFrame,
     the fused manifest-scan path (fused.py) so both produce identical
     plans downstream of featurization."""
     feats = (feats.withWatermark("warc_ts", watermark)
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .drop("url"))
     win = (F.window("warc_ts", window, slide) if slide
            else F.window("warc_ts", window))
@@ -92,7 +92,7 @@ def salted_windowed_doc_counts(sdf: DataFrame,
     what you want to sink anyway (compaction downstream). Exact for
     sum/count (algebraic)."""
     keyed = (sdf.withWatermark("warc_ts", watermark)
-             .withColumn("host", F.parse_url("url", F.lit("HOST")))
+             .withColumn("host", F.try_parse_url("url", F.lit("HOST")))
              .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(buckets))))
     return (keyed.groupBy(F.window("warc_ts", config.TUMBLING_WINDOW)
                           .alias("window"), "host", "salt")

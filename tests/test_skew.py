@@ -70,6 +70,30 @@ def test_heavy_hitters_candidates_bounded_many_batches(spark):
         df.unpersist()
 
 
+def test_heavy_hitters_heavy_key_after_stale_counters(spark):
+    """Round-4 advice (high): the MG prune must SUBTRACT the cut from
+    surviving counters, not just filter. Without the decrement, stale
+    large counters keep full weight and repeatedly knock out a heavy
+    key that arrives later — breaking the guaranteed-superset proof.
+    Repro: one partition, small Arrow batches; a×100 and b×99 arrive
+    first, then x×294 spread over later batches. N=493, k=2 →
+    threshold 246.5: x (and only x) is heavy and MUST surface."""
+    import pandas as pd
+    rows = (["a"] * 100) + (["b"] * 99) + (["x"] * 294)
+    pdf = pd.DataFrame({"v": rows})
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        df = spark.createDataFrame(pdf).coalesce(1)
+        cands = {r["v"] for r in skew.mg_candidates(df, "v", 2).collect()}
+        assert "x" in cands, cands
+        got = {(r["value"], r["n"]) for r in
+               skew.heavy_hitters(df, "v", k=2).collect()}
+        assert got == {("x", 294)}, got
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_heavy_hitters_non_string_key_and_nulls(spark):
     """Schema-derived candidate type (bigint key) + the documented null
     contract: nulls are excluded and the N/k threshold is over the

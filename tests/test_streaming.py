@@ -171,6 +171,38 @@ def test_stateful_glcm_sliding_matches_batch(spark, pages_dir):
         g[cols + ["n_docs"]], spark_win[cols + ["n_docs"]])
 
 
+def test_continuous_sliding_emission_per_epoch(spark, pages_dir):
+    """round-4 verdict #3: closed sliding windows must emit PER EPOCH as
+    the watermark passes them (foreachBatch over the pane stream), with
+    the drain flush carrying only the tail — and the union of all
+    epoch emissions must equal the independent batch oracle exactly,
+    each window emitted exactly once. The 5-minute watermark drops
+    nothing (the fixture stream is event-time-sorted) but closes
+    windows early enough that several epochs emit before the flush."""
+    table = IcebergLiteTable(_scratch("tbl_contslide"))
+    sdf = stream.pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    state.sliding_glcm_stream_continuous(
+        sdf, table, _scratch("ckpt_contslide"), watermark="5 minutes",
+        buckets=16)
+    got = table.read(spark)
+    # per-epoch (pre-flush) emission actually happened, across >1 epoch
+    pre_flush = got.filter(F.col("epoch") < (1 << 40))
+    assert pre_flush.count() > 0
+    assert pre_flush.select("epoch").distinct().count() >= 2
+    # exactly-once per window
+    assert (got.groupBy("lang", "host", "window_start").count()
+            .filter("count > 1").count()) == 0
+    # union of all epochs == batch oracle, row-for-row
+    exp = state.batch_glcm_agg_sliding(
+        stream.read_pages_batch(spark, pages_dir))
+    cols = ["lang", "host", "window_start"]
+    e = exp.toPandas().sort_values(cols).reset_index(drop=True)
+    g = got.drop("epoch").toPandas().sort_values(cols) \
+        .reset_index(drop=True)[e.columns]
+    pd.testing.assert_frame_equal(g, e)
+    assert g["n_docs"].sum() == 2 * 440
+
+
 def test_bucketed_panes_match_per_pane(spark, pages_dir):
     """The protocol-amortized pane path must emit pane count vectors
     whose latest-per-pane resolution is byte-identical to the per-pane
@@ -242,6 +274,67 @@ def test_bucketed_sessions_match_per_key(spark, pages_dir):
     e = run(state.stateful_glcm_session_agg, "sess_pk")
     pd.testing.assert_frame_equal(g, e)
     assert len(g) and g["n_docs"].sum() == 440
+
+
+def test_bucket_blob_roundtrips_null_keys():
+    """round-4 advice #2: F.parse_url returns NULL for malformed URLs,
+    so None must survive the packed-blob state format (length-sentinel
+    encoding) — the per-key paths already handle null grouping keys."""
+    import numpy as np
+    keys = [("en", None), (None, "h.example.com"), (None, None),
+            ("de", "x.example.com")]
+    meta = np.arange(12, dtype=np.int64).reshape(4, 3)
+    mats = np.arange(4 * state.L2, dtype=np.int64).reshape(4, state.L2)
+    k2, m2, g2 = state._unpack_bucket(state._pack_bucket(keys, mats, meta))
+    assert k2 == keys
+    assert (m2 == meta).all() and (g2 == mats).all()
+
+
+def test_bucketed_null_host_matches_per_key(spark):
+    """A malformed URL (NULL host) through the bucketed tumbling path
+    must neither crash nor diverge from the per-key path (round-4
+    advice #2: lang.encode()/host.encode() raised AttributeError on
+    None inside every bucketed state fn). Two failure modes are pinned:
+    plain F.parse_url THROWS under Spark 4 ANSI (the engine must use
+    try_parse_url so one bad URL can't kill a 100 TB stream), and the
+    resulting NULL host must survive the packed-blob state format. The
+    pane/session bucketed paths share _pack_bucket and
+    _batch_key_groups, so the blob roundtrip test above covers their
+    encoding too."""
+    from glcmstream import kernel
+    src = _scratch("nullhost_src")
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    urls = ["https://h1.example.com/a", "not a url at all",
+            "https://h1.example.com/b", "::also/not?a#url"]
+    tbl = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([t0 + pd.Timedelta(minutes=i)
+                             for i in range(4)], pa.timestamp("us")),
+        "html": pa.array([kernel.make_html(f"d{i}", f"body text {i}")
+                          for i in range(4)], pa.binary()),
+        "text": pa.array(["x"] * 4, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string())})
+    pq.write_table(tbl, os.path.join(src, "f1.parquet"))
+
+    def run(fn, tag):
+        sdf = stream.pages_stream(spark, src)
+        q = (fn(sdf).writeStream.format("memory").queryName(tag)
+             .outputMode("update")
+             .option("checkpointLocation", _scratch(f"ckpt_{tag}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return (_latest_per_key(spark.table(tag),
+                                ["lang", "host", "window_start"])
+                .drop("_rn", "n_batches").toPandas()
+                .sort_values(["lang", "host", "window_start"],
+                             na_position="first")
+                .reset_index(drop=True))
+
+    g = run(lambda s: state.stateful_glcm_agg_bucketed(s, buckets=4),
+            "nullhost_bkt")
+    e = run(state.stateful_glcm_agg, "nullhost_pk")
+    pd.testing.assert_frame_equal(g, e)
+    assert g["host"].isna().sum() > 0 and g["n_docs"].sum() == 4
 
 
 def test_session_fragments_merge_out_of_order(spark):
