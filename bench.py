@@ -115,6 +115,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     n_pages = int(N_DOCS * 1.1)  # incl. 10% recrawls
+    # suite-wide bracket: probes + steal around the WHOLE run so a
+    # drift in any non-headline leg is attributable to host vs code
+    suite_probe_pre = calibration_probe(pages_dir)
+    suite_tot0, suite_st0 = _read_steal()
 
     # --- headline: fused manifest-scan streaming GLCM + windowed agg -------
     # (the 100 TB path: split metadata streams, workers read row groups;
@@ -323,13 +327,15 @@ def main() -> None:
     # scaled doc count, one availableNow epoch each, identical windowed
     # agg; the separation (or its absence) lands in BENCH_r{N}.json.
     from glcmstream import fixtures as _fx
-    big_docs = int(os.environ.get("GLCM_BIGPAGE_DOCS", "12000"))
-    bigdir = os.path.join(SCRATCH, f"bench_pages_big_{big_docs}_rg256")
+    big_docs = int(os.environ.get("GLCM_BIGPAGE_DOCS", "8000"))
+    bigdir = os.path.join(SCRATCH, f"bench_pages_100k_{big_docs}_rg128")
     if not os.path.exists(os.path.join(bigdir, "part-0015.parquet")):
         shutil.rmtree(bigdir, ignore_errors=True)
+        # ~100 KiB html/doc (the Common-Crawl design point), 128-row
+        # row groups (~13 MiB) so split granularity stays balanced
         _fx.write_pages_parquet(bigdir, n_docs=big_docs, n_files=16,
-                                min_tokens=5000, max_tokens=9000,
-                                row_group_rows=256)
+                                min_tokens=12000, max_tokens=20000,
+                                row_group_rows=128)
     bmdir = os.path.join(SCRATCH, f"bench_manifests_big_{big_docs}")
     fused.write_split_manifests(bigdir, bmdir)
     ckpt_bf = os.path.join(SCRATCH, "bench_ckpt_bigf")
@@ -393,6 +399,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_pages / t_stream, 1)
+    suite_tot1, suite_st1 = _read_steal()
+    suite_probe_post = calibration_probe(pages_dir)
+    suite_steal = round(100.0 * (suite_st1 - suite_st0)
+                        / max(1, suite_tot1 - suite_tot0), 2)
+    suite_drift = round(max(suite_probe_pre, suite_probe_post)
+                        / max(1e-9, min(suite_probe_pre,
+                                        suite_probe_post)), 3)
     print(json.dumps({
         "metric": "glcmstream bench (GLCM featurize + windowed agg "
                   "+ operator suite)",
@@ -400,7 +413,11 @@ def main() -> None:
         "docs_per_sec": docs_per_sec, "n_docs": n_pages, "cpus": CPUS,
         "window": {"valid": window_ok, "steal_max_pct": STEAL_MAX,
                    "probe_drift_max": PROBE_DRIFT_MAX,
-                   "headline_attempts": attempts},
+                   "headline_attempts": attempts,
+                   "suite_probe_pre": suite_probe_pre,
+                   "suite_probe_post": suite_probe_post,
+                   "suite_drift": suite_drift,
+                   "suite_steal_pct": suite_steal},
     }))
 
 
