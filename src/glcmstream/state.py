@@ -795,12 +795,14 @@ class ContinuousSlidingEmitter:
         self.emit_bound_us = None   # all windows with end <= this emitted
         self.event_lb_us = None     # max pane_start over PAST epochs
         self._store_v = -1
+        self._flush_seq = 0
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 m = _json.load(f)
             self.emit_bound_us = m["emit_bound_us"]
             self.event_lb_us = m["event_lb_us"]
             self._store_v = m["store_v"]
+            self._flush_seq = m.get("flush_seq", 0)
 
     def _store_dir(self, v: int) -> str:
         return f"{self._store_base}_v{v}"
@@ -811,7 +813,8 @@ class ContinuousSlidingEmitter:
         with open(tmp, "w") as f:
             _json.dump({"emit_bound_us": self.emit_bound_us,
                         "event_lb_us": self.event_lb_us,
-                        "store_v": self._store_v}, f)
+                        "store_v": self._store_v,
+                        "flush_seq": self._flush_seq}, f)
         os.replace(tmp, self._meta_path)
 
     def _read_store(self, spark):
@@ -882,11 +885,25 @@ class ContinuousSlidingEmitter:
             self.emit_bound_us = wm_lower
         self._save_meta()
 
-    def flush(self, spark, epoch_id: int = 1 << 40) -> None:
-        """Drain tail: emit every still-open window exactly once."""
+    def flush(self, spark) -> None:
+        """Drain tail: emit every window assembled from data seen so
+        far, exactly once. NON-terminal: the bound advances only to the
+        largest possible window end over panes seen (event_lb + L), and
+        each flush commits under a fresh sequenced epoch id — so a
+        periodic availableNow deployment (drain, flush, later drain new
+        backlog, flush again) keeps emitting new windows. The price of
+        flushing before the watermark closes a window is early closure:
+        admissible late events for an already-flushed window are pruned
+        (documented drain semantics, same as the stateful paths'
+        timeout flush)."""
         lo = self.emit_bound_us
-        hi = (1 << 60)
-        self._emit(spark, lo, hi, epoch_id)
+        if self.event_lb_us is None:
+            return
+        hi = self.event_lb_us + self.s_us + self.l_us
+        if lo is not None and hi <= lo:
+            return
+        self._flush_seq += 1
+        self._emit(spark, lo, hi, (1 << 40) + self._flush_seq)
         self.emit_bound_us = hi
         self._save_meta()
 

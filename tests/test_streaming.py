@@ -203,6 +203,87 @@ def test_continuous_sliding_emission_per_epoch(spark, pages_dir):
     assert g["n_docs"].sum() == 2 * 440
 
 
+def test_continuous_sliding_emitter_resumes(spark, pages_dir):
+    """Crash-restart contract of the continuous emitter: its driver
+    scalars persist in a meta json written in commit-then-advance
+    order and window commits are epoch-idempotent, so a FRESH emitter
+    instance over the same checkpoint + table (leg 1 'crashes' after
+    its epochs, before any tail flush) must continue without
+    duplicating or losing a single window — final table equals the
+    batch oracle exactly."""
+    files = sorted(os.listdir(pages_dir))
+    src = _scratch("contres_src")
+    ckpt = _scratch("contres_ckpt")
+    tdir = _scratch("contres_tbl")
+
+    def drain_leg(flush):
+        table = IcebergLiteTable(tdir)
+        em = state.ContinuousSlidingEmitter(table, watermark="5 minutes")
+        sdf = stream.pages_stream(spark, src, max_files_per_trigger=2)
+        panes = state.stateful_glcm_pane_agg_bucketed(
+            sdf, watermark="5 minutes", buckets=16)
+        q = (panes.writeStream.outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(em.process)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        if flush:
+            em.flush(spark)
+        return table
+
+    for f in files[:4]:
+        shutil.copy2(os.path.join(pages_dir, f), src)
+    t1 = drain_leg(flush=False)
+    emitted_leg1 = t1.read(spark).count()
+    # genuine restart: drop cached state-store providers
+    spark._jvm.org.apache.spark.sql.execution.streaming \
+        .state.StateStore.stop()
+    for f in files[4:]:
+        shutil.copy2(os.path.join(pages_dir, f), src)
+    table = drain_leg(flush=True)
+
+    got = table.read(spark)
+    assert (got.groupBy("lang", "host", "window_start").count()
+            .filter("count > 1").count()) == 0
+    exp = state.batch_glcm_agg_sliding(
+        stream.read_pages_batch(spark, pages_dir))
+    cols = ["lang", "host", "window_start"]
+    e = exp.toPandas().sort_values(cols).reset_index(drop=True)
+    g = got.drop("epoch").toPandas().sort_values(cols) \
+        .reset_index(drop=True)[e.columns]
+    pd.testing.assert_frame_equal(g, e)
+    # leg 1 really emitted windows before the 'crash' (not all from
+    # leg 2's tail) and leg 2 added more
+    assert 0 < emitted_leg1 < len(g)
+
+    # SECOND drain cycle (flush is non-terminal): a later backlog with
+    # newer timestamps must still emit its windows after a flush —
+    # periodic availableNow deployments drain+flush repeatedly
+    from glcmstream import kernel
+    t9 = pd.Timestamp("2026-01-01 03:00:00")
+    tbl9 = pa.table({
+        "url": pa.array(["https://h9.example.com/x"], pa.string()),
+        "warc_ts": pa.array([t9], pa.timestamp("us")),
+        "html": pa.array([kernel.make_html("d9", "late cycle body")],
+                         pa.binary()),
+        "text": pa.array(["x"], pa.string()),
+        "lang": pa.array(["en"], pa.string())})
+    p9 = os.path.join(src, "part-0009.parquet")
+    pq.write_table(tbl9, p9)
+    import time as _time
+    t = float(int(_time.time())) + 60
+    os.utime(p9, (t, t))
+    spark._jvm.org.apache.spark.sql.execution.streaming \
+        .state.StateStore.stop()
+    table = drain_leg(flush=True)
+    got2 = table.read(spark)
+    assert (got2.groupBy("lang", "host", "window_start").count()
+            .filter("count > 1").count()) == 0
+    new_rows = got2.filter(F.col("host") == "h9.example.com").count()
+    assert new_rows == 2  # the new doc's two sliding windows emitted
+    assert got2.count() == len(g) + 2  # old windows untouched
+
+
 def test_bucketed_panes_match_per_pane(spark, pages_dir):
     """The protocol-amortized pane path must emit pane count vectors
     whose latest-per-pane resolution is byte-identical to the per-pane
