@@ -820,7 +820,13 @@ class ContinuousSlidingEmitter:
     def _read_store(self, spark):
         if self._store_v < 0:
             return None
-        return spark.read.parquet(self._store_dir(self._store_v))
+        try:
+            return spark.read.parquet(self._store_dir(self._store_v))
+        except Exception:
+            # an all-pruned epoch can leave a part-file-less parquet
+            # dir (schema uninferrable) — an empty store and no store
+            # are equivalent
+            return None
 
     def _write_store(self, df) -> None:
         import shutil as _shutil

@@ -454,6 +454,34 @@ def test_connected_components_synthetic_graphs(spark):
     got_deep = {(r.id, r.component_id) for r in
                 dedup.connected_components(deep_df, max_iter=3).collect()}
     assert got_deep == exp_deep
+    # property sweep: random sparse graphs, star path forced
+    # (max_iter=0) vs union-find — catches shape-specific bugs the two
+    # chains can't (multi-component, cycles, hubs, isolated pairs)
+    for seed in (11, 12, 13):
+        rng2 = np.random.default_rng(seed)
+        n_nodes = 150
+        ids3 = rng2.permutation(50_000)[:n_nodes]
+        m = 130
+        ga = rng2.integers(0, n_nodes, m)
+        gb = rng2.integers(0, n_nodes, m)
+        g_edges = [(int(ids3[a]), int(ids3[b]))
+                   for a, b in zip(ga, gb) if a != b]
+        parent2 = {}
+
+        def find2(x):
+            while parent2.setdefault(x, x) != x:
+                parent2[x] = parent2[parent2[x]]
+                x = parent2[x]
+            return x
+
+        for a, b in g_edges:
+            parent2[find2(a)] = find2(b)
+        exp2 = {(x, min(y for y in parent2 if find2(y) == find2(x)))
+                for x in parent2}
+        gdf = spark.createDataFrame(g_edges, ["id_a", "id_b"])
+        got2 = {(r.id, r.component_id) for r in
+                dedup.connected_components(gdf, max_iter=0).collect()}
+        assert got2 == exp2, f"seed {seed}"
     # jaccard-edge end-to-end: components of planted near-dup docs
     pdf, planted = _mk_docs()
     docs = spark.createDataFrame(pdf)

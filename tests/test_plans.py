@@ -104,6 +104,15 @@ def test_heavy_hitters_plan_shape(spark):
     assert "SortMergeJoin" not in s, "candidate join degenerated to SMJ"
 
 
+def test_keep_best_component_map_broadcasts(spark):
+    """dedup_keep_best's scale claim: the component map (dup-graph
+    members only — a vanishing fraction of a 10^12-doc corpus) must
+    BROADCAST onto the corpus scan; a shuffle join here would move the
+    whole corpus for a tiny map."""
+    s = _executed(queries.QUERIES["dedup_keep_best"](spark, SF))
+    assert "BroadcastHashJoin" in s, "component map join must broadcast"
+
+
 def test_stratified_sample_rank_limit_pushed_down(spark):
     """stratified_sample's scale claim: Spark's WindowGroupLimit runs a
     PARTIAL top-50 per stratum map-side, before the exchange — only
