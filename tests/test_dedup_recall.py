@@ -493,3 +493,42 @@ def test_connected_components_synthetic_graphs(spark):
     for a, b in planted:
         if (a, b) in recalled:
             assert labels[a] == labels[b]
+
+
+def test_ngram_jaccard_exact_vs_minhash_estimate(spark):
+    """Cross-evidence: ngram_jaccard_pairs computes the EXACT word-3-gram
+    Jaccard that minhash_lsh_pairs ESTIMATES over the same k=3 shingles
+    (dedup.SHINGLE_K). On the driver corpus every exact pair >= 0.30 is
+    (a) recovered by the LSH path (at j ~ 0.96 the 8x4 band collision
+    probability is ~1, and the seeded signatures are deterministic) and
+    (b) estimated within the 32-perm minhash error bound."""
+    from glcmstream import queries as q
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             q.QUERIES["ngram_jaccard_pairs"](spark, sf).collect()}
+    assert len(exact) >= 3  # fixture plants near-dups
+    docs = q._t(spark, sf, "documents")
+    est = {(r.id_a, r.id_b): r.jaccard for r in
+           dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    for pair, j in exact.items():
+        assert pair in est, f"exact pair {pair} (j={j}) missed by LSH"
+        # 32 perms: std ~ sqrt(j(1-j)/32) < 0.04 at j >= 0.9; allow 5 std
+        assert abs(est[pair] - j) < 0.2, (pair, est[pair], j)
+
+
+def test_ngram_jaccard_short_doc_guard(spark, tmp_path):
+    """Docs with < 3 tokens produce an EMPTY shingle set (Spark's
+    sequence(1, n) steps backward for n < 1 — the query guards it);
+    identical long docs pair at jaccard 1.0."""
+    import pandas as pd
+    from glcmstream import queries as q
+    sf = str(tmp_path)
+    text10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en"] * 4,
+        "text": ["two tokens", "", text10, text10],
+    })
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    got = q.QUERIES["ngram_jaccard_pairs"](spark, sf).collect()
+    assert {(r.id_a, r.id_b, r.jaccard) for r in got} == {(3, 4, 1.0)}
