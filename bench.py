@@ -323,7 +323,7 @@ def main() -> None:
     # --- fused vs classic at REALISTIC page sizes (round-4 verdict #5:
     # the 100 TB argument — worker-side row-group reads keep page bytes
     # out of the JVM/Arrow pipe — was asserted from a 45 KiB scaling
-    # fixture but never A/B-measured in bench. ~45 KiB/doc pages at a
+    # fixture but never A/B-measured in bench. ~100 KiB/doc pages at a
     # scaled doc count, one availableNow epoch each, identical windowed
     # agg; the separation (or its absence) lands in BENCH_r{N}.json.
     from glcmstream import fixtures as _fx

@@ -796,6 +796,7 @@ class ContinuousSlidingEmitter:
         self.event_lb_us = None     # max pane_start over PAST epochs
         self._store_v = -1
         self._flush_seq = 0
+        self._last_epoch = None     # last FULLY processed engine epoch
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 m = _json.load(f)
@@ -803,6 +804,12 @@ class ContinuousSlidingEmitter:
             self.event_lb_us = m["event_lb_us"]
             self._store_v = m["store_v"]
             self._flush_seq = m.get("flush_seq", 0)
+            self._last_epoch = m.get("last_epoch")
+        # sweep store versions the meta does NOT point at: a crash
+        # before _save_meta orphans new_v (rewritten on replay anyway);
+        # a crash after _save_meta but before GC leaves the superseded
+        # old version behind
+        self._gc_stores()
 
     def _store_dir(self, v: int) -> str:
         return f"{self._store_base}_v{v}"
@@ -814,8 +821,20 @@ class ContinuousSlidingEmitter:
             _json.dump({"emit_bound_us": self.emit_bound_us,
                         "event_lb_us": self.event_lb_us,
                         "store_v": self._store_v,
-                        "flush_seq": self._flush_seq}, f)
+                        "flush_seq": self._flush_seq,
+                        "last_epoch": self._last_epoch}, f)
         os.replace(tmp, self._meta_path)
+
+    def _gc_stores(self) -> None:
+        import glob as _glob
+        import shutil as _shutil
+        for d in _glob.glob(self._store_base + "_v*"):
+            try:
+                v = int(d.rsplit("_v", 1)[1])
+            except ValueError:
+                continue
+            if v != self._store_v:
+                _shutil.rmtree(d, ignore_errors=True)
 
     def _read_store(self, spark):
         if self._store_v < 0:
@@ -829,12 +848,13 @@ class ContinuousSlidingEmitter:
             return None
 
     def _write_store(self, df) -> None:
-        import shutil as _shutil
         new_v = self._store_v + 1
         df.write.mode("overwrite").parquet(self._store_dir(new_v))
-        if self._store_v >= 0:
-            _shutil.rmtree(self._store_dir(self._store_v),
-                           ignore_errors=True)
+        # deletion of the superseded version is DEFERRED to _gc_stores
+        # AFTER the meta json durably points at new_v: deleting here
+        # would open a crash window where the persisted store_v names a
+        # directory that no longer exists — a restart would silently
+        # lose every open pane and emit undercounted windows
         self._store_v = new_v
 
     def _emit(self, spark, lo_us: int | None, hi_us: int,
@@ -858,6 +878,17 @@ class ContinuousSlidingEmitter:
             sel.unpersist()
 
     def process(self, batch_df, epoch_id: int) -> None:
+        if epoch_id is not None and epoch_id == self._last_epoch:
+            # Engine replay of an epoch whose process() already ran to
+            # completion (crash after _save_meta, before the engine's
+            # own checkpoint commit): store, emit bound, event proxy
+            # and table commit are all already applied and persisted.
+            # Recomputing here would derive a LARGER watermark from the
+            # already-advanced event_lb, no-op on the duplicate table
+            # epoch id, then advance the bound past windows that were
+            # never committed — permanently skipping them. Idempotent
+            # replay is therefore a full no-op.
+            return
         spark = batch_df.sparkSession
         new = (batch_df
                .select("lang", "host",
@@ -889,7 +920,9 @@ class ContinuousSlidingEmitter:
             # could advance the bound past windows never committed
             self._emit(spark, lo, wm_lower, epoch_id)
             self.emit_bound_us = wm_lower
+        self._last_epoch = epoch_id
         self._save_meta()
+        self._gc_stores()
 
     def flush(self, spark) -> None:
         """Drain tail: emit every window assembled from data seen so

@@ -950,3 +950,86 @@ def test_salted_streaming_agg_exact(spark, pages_dir):
            .select(F.col("w.start").alias("ws"), "host", "n_docs")
            .toPandas().sort_values(["ws", "host"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_continuous_sliding_replayed_epoch_is_noop(spark):
+    """Crash-protocol hardening of the continuous emitter, exercised by
+    driving process() directly with synthetic pane batches:
+
+    1. If the engine replays an epoch whose process() already completed
+       (crash after _save_meta, before the engine's own checkpoint
+       commit), the replay must be a FULL no-op — recomputing would
+       derive a larger watermark from the already-advanced event
+       proxy, no-op on the duplicate table epoch id, and advance the
+       emit bound past windows never committed (silently skipping
+       them forever).
+    2. The on-disk meta must never point at a deleted pane-store
+       directory (store GC is deferred until after the meta save), and
+       stale store versions are swept at construction.
+
+    A replayed run must end byte-identical (including emission epochs)
+    to an uninterrupted reference run over the same batches."""
+    import json
+
+    import numpy as np
+
+    L2 = state.L2
+
+    def counts(seed, n):
+        rng = np.random.default_rng(seed)
+        return (rng.integers(1, 50, L2).astype("<i8") * n).tobytes()
+
+    def batch(rows):
+        data = [(lang, host, pd.Timestamp(ts).to_pydatetime(),
+                 counts(seed, n), n, 1)
+                for (lang, host, ts, seed, n) in rows]
+        return spark.createDataFrame(data, state.PANE_OUTPUT_SCHEMA)
+
+    batches = [
+        batch([("en", "h1", "2026-01-01 00:00:00", 1, 3),
+               ("en", "h1", "2026-01-01 00:05:00", 2, 2)]),
+        batch([("en", "h1", "2026-01-01 00:30:00", 3, 4)]),
+        batch([("de", "h2", "2026-01-01 00:45:00", 4, 1)]),
+        batch([("en", "h1", "2026-01-01 01:10:00", 5, 2)]),
+    ]
+
+    def run(tag, replay_epoch=None):
+        tdir = _scratch(f"tbl_replay_{tag}")
+        table = IcebergLiteTable(tdir)
+        em = state.ContinuousSlidingEmitter(table, watermark="5 minutes")
+        meta_path = em._meta_path
+        for eid, b in enumerate(batches):
+            em.process(b, eid)
+            # invariant 2: the PERSISTED store version always exists
+            m = json.load(open(meta_path))
+            assert os.path.isdir(em._store_dir(m["store_v"]))
+            if replay_epoch == eid:
+                before_rows = table.read(spark).count()
+                before_meta = open(meta_path).read()
+                # fresh instance = restart from persisted meta
+                em = state.ContinuousSlidingEmitter(
+                    table, watermark="5 minutes")
+                em.process(b, eid)  # engine replays the same epoch
+                assert table.read(spark).count() == before_rows
+                assert open(meta_path).read() == before_meta
+        em.flush(spark)
+        return table
+
+    ref = run("ref").read(spark).toPandas()
+    rep_table = run("rep", replay_epoch=2)
+    got = rep_table.read(spark).toPandas()
+    cols = ["lang", "host", "window_start"]
+    ref = ref.sort_values(cols).reset_index(drop=True)
+    got = got.sort_values(cols).reset_index(drop=True)[ref.columns]
+    assert len(ref) > 0
+    pd.testing.assert_frame_equal(got, ref)  # includes the epoch column
+
+    # stale-version sweep at construction (post-meta-save crash leaves
+    # a superseded store dir behind; the next restart removes it and
+    # keeps the live one)
+    em = state.ContinuousSlidingEmitter(rep_table, watermark="5 minutes")
+    stale = em._store_dir(99)
+    os.makedirs(stale, exist_ok=True)
+    em2 = state.ContinuousSlidingEmitter(rep_table, watermark="5 minutes")
+    assert not os.path.exists(stale)
+    assert os.path.isdir(em2._store_dir(em2._store_v))
