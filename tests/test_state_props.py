@@ -85,3 +85,54 @@ def test_merge_frags_matches_gaps_and_islands(ts):
     for frag, isl in zip(got, islands):
         assert frag[0] == isl[0] and frag[1] == isl[-1]
         assert frag[2] == len(isl)
+
+
+# ---------------------------------------------------------------------------
+# _batch_key_groups (round-5): the vectorized factorize/unique grouping
+# that replaced the per-row dict loop in all three bucketed state
+# functions. Hypothesis pins it against the loop it replaced — same
+# groups, same per-row assignment, same doc counts — over random key
+# pools that INCLUDE None components (try_parse_url yields NULL hosts
+# for malformed URLs; the NA sentinel collision across columns under
+# the mixed radix was the subtle failure mode).
+# ---------------------------------------------------------------------------
+
+_LANGS = ["en", "de", None, "fr"]
+_HOSTS = ["a.com", None, "b.org", "c.net", "d.io"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, len(_LANGS) - 1),
+                  st.integers(0, len(_HOSTS) - 1),
+                  st.integers(0, 3)),
+        min_size=1, max_size=60),
+    with_window=st.booleans(),
+)
+def test_batch_key_groups_matches_dict_loop(rows, with_window):
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "lang": [_LANGS[r[0]] for r in rows],
+        "host": [_HOSTS[r[1]] for r in rows],
+        "ws_us": [r[2] * 300_000_000 for r in rows],
+    })
+    uniq, inv, docs = state._batch_key_groups(pdf,
+                                              with_window=with_window)
+    # reference: the per-row dict loop the vectorization replaced
+    ref: dict = {}
+    for r in range(len(pdf)):
+        fk = ((pdf["lang"][r], pdf["host"][r], int(pdf["ws_us"][r]))
+              if with_window else (pdf["lang"][r], pdf["host"][r]))
+        ref.setdefault(fk, []).append(r)
+    assert len(uniq) == len(ref)
+    assert len(inv) == len(pdf)
+    seen = {}
+    for j, fk in enumerate(uniq):
+        key = tuple(fk)
+        assert key in ref, key
+        assert sorted(np.where(inv == j)[0].tolist()) == ref[key]
+        assert docs[j] == len(ref[key])
+        seen[key] = True
+    assert len(seen) == len(ref)
