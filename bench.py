@@ -338,6 +338,14 @@ def main() -> None:
                                 row_group_rows=128)
     bmdir = os.path.join(SCRATCH, f"bench_manifests_big_{big_docs}")
     fused.write_split_manifests(bigdir, bmdir)
+    # Untimed page-cache warm pass: fused runs first and would otherwise
+    # read the ~800 MB fixture cold while classic reads it warm — the A/B
+    # must compare compute paths, not disk state. (~800 MB « RAM.)
+    for _f in sorted(os.listdir(bigdir)):
+        if _f.endswith(".parquet"):
+            with open(os.path.join(bigdir, _f), "rb") as _fh:
+                while _fh.read(1 << 24):
+                    pass
     ckpt_bf = os.path.join(SCRATCH, "bench_ckpt_bigf")
     shutil.rmtree(ckpt_bf, ignore_errors=True)
     t0 = time.perf_counter()
