@@ -259,8 +259,11 @@ def main() -> None:
            .outputMode("update").option("checkpointLocation", ckpt2c)
            .trigger(availableNow=True).start())
     q2c.awaitTermination()
-    latest = state.latest_panes(spark.table("bench_panes"))
-    assert state.finalize_sliding_windows(latest).count() > 0
+    # one-shuffle finalizer (bit-identical to the two-shuffle
+    # latest_panes -> finalize_sliding_windows path; 1x pane payload
+    # through the exchange instead of 1 + L/S copies)
+    assert state.sliding_windows_from_emissions(
+        spark.table("bench_panes")).count() > 0
     timings["glcm_stateful_sliding"] = round(time.perf_counter() - t0, 3)
 
     ckpt2d = os.path.join(SCRATCH, "bench_ckpt2d")

@@ -1765,8 +1765,11 @@ def streaming_stateful_glcm_sliding(spark, sf_dir):
          .outputMode("update").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    latest = state_mod.latest_panes(spark.table(qname))
-    final = state_mod.finalize_sliding_windows(latest)
+    # one-shuffle finalizer: worker-side latest-per-pane + local window
+    # expansion (bit-identical to latest_panes -> finalize_sliding_windows,
+    # pinned by test_sliding_from_emissions_matches_two_shuffle; shuffles
+    # 1x the pane payload instead of 1 + L/S copies)
+    final = state_mod.sliding_windows_from_emissions(spark.table(qname))
     return final.select(
         "lang", "host",
         F.unix_micros("window_start").alias("window_start_us"), "n_docs",

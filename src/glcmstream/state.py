@@ -717,6 +717,112 @@ def finalize_sliding_windows(panes: DataFrame,
             .mapInPandas(assemble, SLIDING_OUTPUT_SCHEMA))
 
 
+def sliding_windows_from_emissions(emissions: DataFrame,
+                                   length: str = config.SLIDING_WINDOW[0],
+                                   slide: str = config.SLIDING_WINDOW[1]
+                                   ) -> DataFrame:
+    """ONE-shuffle sliding finalizer over raw update-mode pane emissions.
+
+    latest_panes + finalize_sliding_windows spend two exchanges: a
+    groupBy resolving each pane's final counts, then an explode of L/S
+    copies of every 8 KiB pane row through a second shuffle. This path
+    repartitions the raw emissions ONCE by (lang, host) and does both
+    steps worker-side:
+
+    - latest-per-pane: rows arrive sorted by (lang, host, pane_start,
+      n_docs); a touched pane's n_docs strictly increases across its
+      emissions, so the last row of a pane's run is its final state
+      (the same argument that makes latest_panes' max_by unambiguous).
+    - pane->window expansion: the windows a pane touches are
+      window_start = pane_start - i*slide, i < r = L/S. Candidates are
+      generated worker-side as fused int64 codes (8 BYTES each, not
+      8 KiB pane copies), deduped with np.unique, and every window's
+      count sum is a difference of one global int64 cumsum at
+      np.searchsorted bounds — zero per-row or per-key Python. Key and
+      slide-index fuse as kcode*BIG + gz with gz >= 1 and the max
+      per-key span + r < BIG, so codes are strictly increasing across
+      the sorted partition and a window's [code, code+r) range can
+      never cross into another key's block. Counts are integers, so
+      any summation order is bit-identical to the reduceat path
+      (pinned by test_sliding_from_emissions_matches_two_shuffle).
+
+    Shuffle volume drops from (1 + L/S) x pane payload to 1x — at a
+    production 1 h / 5 min window that is 13x — and one whole exchange
+    stage disappears from the plan. Assembly is partition-resident
+    (one concat of the partition's Arrow chunks): pane rows are
+    key-cardinality, not doc-cardinality, so a shuffle partition holds
+    them comfortably; size spark.sql.shuffle.partitions for state
+    cardinality as usual.
+    """
+    l_us, s_us = _duration_us(length), _duration_us(slide)
+    assert l_us % s_us == 0, "slide must divide window length"
+    r = l_us // s_us
+
+    def assemble(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        ps_all = pdf["pane_start"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+
+        def key_change(frame):
+            # null-safe key boundaries: factorize gives NULL its own
+            # code (a pandas `!=` treats None as unequal to itself and
+            # would split a null-host key into per-row groups)
+            lc, _ = pd.factorize(frame["lang"], use_na_sentinel=False)
+            hc, _ = pd.factorize(frame["host"], use_na_sentinel=False)
+            chg = (lc != np.roll(lc, 1)) | (hc != np.roll(hc, 1))
+            chg[0] = True
+            return chg
+
+        kchg_all = key_change(pdf)
+        pchg = kchg_all | (ps_all != np.roll(ps_all, 1))
+        pchg[0] = True
+        last_of_pane = np.roll(pchg, -1)
+        last_of_pane[-1] = True
+        sub = pdf.iloc[np.flatnonzero(last_of_pane)].reset_index(drop=True)
+
+        n = len(sub)
+        ps = ps_all[last_of_pane]
+        kchg = key_change(sub)
+        kcode = np.cumsum(kchg) - 1
+        first_rows = np.flatnonzero(kchg)
+        g = ps // s_us                      # panes sit on the slide grid
+        gz = g - g.min() + r                # >= r, so w = gz-i stays >= 1
+        big = int(gz.max()) + r + 2
+        stored = kcode * big + gz           # strictly increasing
+        mats = np.frombuffer(b"".join(sub["counts"]), dtype="<i8") \
+            .reshape(n, L2)
+        csum = np.vstack([np.zeros((1, L2), np.int64),
+                          np.cumsum(mats, axis=0)])
+        dsum = np.concatenate([[0],
+                               np.cumsum(sub["n_docs"].to_numpy())])
+        ucand = np.unique((stored[:, None]
+                           - np.arange(r, dtype=np.int64)[None, :]).ravel())
+        lo = np.searchsorted(stored, ucand, side="left")
+        hi = np.searchsorted(stored, ucand + r, side="left")
+        wsum = csum[hi] - csum[lo]
+        wdocs = dsum[hi] - dsum[lo]
+        wk = ucand // big
+        ws_us = (ucand % big + g.min() - r) * s_us
+        feats = kernel.haralick_batch(kernel.normalize_glcm(
+            wsum.astype(np.float64).reshape(
+                len(ucand), config.GRAY_LEVELS, config.GRAY_LEVELS)))
+        langs = sub["lang"].to_numpy()
+        hosts = sub["host"].to_numpy()
+        yield pd.DataFrame({
+            "lang": langs[first_rows[wk]],
+            "host": hosts[first_rows[wk]],
+            "window_start": pd.to_datetime(ws_us, unit="us"),
+            "n_docs": wdocs, **{k: v for k, v in feats.items()}})
+
+    return (emissions
+            .repartition("lang", "host")
+            .sortWithinPartitions("lang", "host", "pane_start", "n_docs")
+            .mapInPandas(assemble, SLIDING_OUTPUT_SCHEMA))
+
+
 def batch_glcm_agg_sliding(pages: DataFrame,
                            length: str = config.SLIDING_WINDOW[0],
                            slide: str = config.SLIDING_WINDOW[1]
