@@ -794,16 +794,27 @@ def sliding_windows_from_emissions(emissions: DataFrame,
         stored = kcode * big + gz           # strictly increasing
         mats = np.frombuffer(b"".join(sub["counts"]), dtype="<i8") \
             .reshape(n, L2)
-        csum = np.vstack([np.zeros((1, L2), np.int64),
-                          np.cumsum(mats, axis=0)])
-        dsum = np.concatenate([[0],
-                               np.cumsum(sub["n_docs"].to_numpy())])
         ucand = np.unique((stored[:, None]
                            - np.arange(r, dtype=np.int64)[None, :]).ravel())
         lo = np.searchsorted(stored, ucand, side="left")
         hi = np.searchsorted(stored, ucand + r, side="left")
-        wsum = csum[hi] - csum[lo]
-        wdocs = dsum[hi] - dsum[lo]
+        # each window sums the contiguous pane-row range [lo, hi);
+        # interleaved-pairs reduceat (even slots = the [lo, hi) sums,
+        # odd slots discarded). The reduction MUST run along the
+        # contiguous axis: reduceat/cumsum along axis 0 of a C-order
+        # (n, L2) block degenerates to L2 cache-hostile 8 KiB-strided
+        # passes (measured 5 s/partition vs milliseconds transposed),
+        # so transpose-copy once and reduce each of the L2 rows over
+        # contiguous segments. A zero pad column makes index n legal.
+        matsT = np.ascontiguousarray(
+            np.vstack([mats, np.zeros((1, L2), np.int64)]).T)
+        pairs = np.empty(2 * len(ucand), dtype=np.int64)
+        pairs[0::2] = lo
+        pairs[1::2] = hi
+        wsum = np.ascontiguousarray(
+            np.add.reduceat(matsT, pairs, axis=1)[:, 0::2].T)
+        ndp = np.concatenate([sub["n_docs"].to_numpy(), [0]])
+        wdocs = np.add.reduceat(ndp, pairs)[0::2]
         wk = ucand // big
         ws_us = (ucand % big + g.min() - r) * s_us
         feats = kernel.haralick_batch(kernel.normalize_glcm(
@@ -817,8 +828,15 @@ def sliding_windows_from_emissions(emissions: DataFrame,
             "window_start": pd.to_datetime(ws_us, unit="us"),
             "n_docs": wdocs, **{k: v for k, v in feats.items()}})
 
+    # explicit partition COUNT: a bare repartition("lang","host") lets
+    # AQE coalesce the ~8 KiB-row exchange below its 64 MB advisory
+    # size (measured: 10 of 32 partitions survived), starving the
+    # python assembly stage; repartition-by-num is exempt from AQE
+    # coalescing, keeping the stage at full parallelism
+    nparts = int(emissions.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
     return (emissions
-            .repartition("lang", "host")
+            .repartition(nparts, "lang", "host")
             .sortWithinPartitions("lang", "host", "pane_start", "n_docs")
             .mapInPandas(assemble, SLIDING_OUTPUT_SCHEMA))
 
