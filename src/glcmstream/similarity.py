@@ -264,14 +264,31 @@ def lsh_near_neighbors(emb: DataFrame, min_cosine: float = 0.9,
                        bands: int | None = None,
                        band_bits: int | None = None,
                        n_vectors: int | None = None) -> DataFrame:
-    """Near-neighbor embedding pairs via banded hyperplane LSH: explode
-    to (band, bucket) metadata rows (ids only — vectors join back for
-    the small candidate set), equi-join per band, exact cosine re-rank.
+    """Near-neighbor embedding pairs via banded hyperplane LSH with a
+    BUCKET-LOCAL exact re-rank.
+
+    Round-5 shape (id-only candidate self-join, then two joins attaching
+    the vectors back, then a Catalyst higher-order-function dot product
+    per candidate) spent ~21 of its 24 s at the 50k bench fixture on the
+    re-rank: 3.7M candidate pairs shuffled through TWO attach joins (the
+    second carrying a 512 B array per row) and 3.7M interpreted
+    `aggregate(zip_with(...))` folds. This path instead shuffles each
+    normalized vector ONCE PER BAND keyed by (band, bucket) — `bands` x
+    corpus rows, linear, ~0.2 GB at 50k vs ~1.3 GB — and computes every
+    in-bucket pair's dot product vectorized in numpy inside one
+    mapInPandas pass over the sorted partition. Only pairs that can pass
+    the threshold (margin-loose pre-filter) leave Python; the EXACT
+    predicate `round(dot, 4) >= min_cosine` stays in Spark, and the dot
+    itself is `np.add.accumulate` — a strict sequential left fold, the
+    same IEEE op sequence as the old JVM `aggregate` — so emitted values
+    are bit-identical to the joined path (normalization stays JVM-side,
+    unchanged). Hot buckets are processed in bounded pair chunks, so a
+    skewed bucket costs time, not memory.
 
     Geometry defaults derive from the corpus size via lsh_geometry()
-    (bits/band ~ log2(n) - 4 keeps the per-band join linear in n); pass
-    bands/band_bits explicitly to override, or n_vectors to skip the
-    sizing count()."""
+    (bits/band ~ log2(n) - 4 keeps expected bucket occupancy ~16, so
+    in-bucket pair work is linear in n); pass bands/band_bits explicitly
+    to override, or n_vectors to skip the sizing count()."""
     if bands is None or band_bits is None:
         n = n_vectors if n_vectors is not None else emb.count()
         d_bands, d_bits = lsh_geometry(n)
@@ -280,28 +297,66 @@ def lsh_near_neighbors(emb: DataFrame, min_cosine: float = 0.9,
     v = F.col("embedding").cast("array<double>")
     nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
                              F.lit(0.0), lambda acc, x: acc + x))
-    # normalize ONCE per vector so the per-candidate re-rank is a single
-    # dot product (vs dot + two norms = 3 array aggregates per pair)
+    # normalize ONCE per vector so the per-pair re-rank is a single dot
+    # product; keep it JVM-side so vn bits match the round-5 output
     e = emb.select("vec_id",
                    F.transform(v, lambda x: x / nrm).alias("vn"),
                    hyperplane_bands_udf(bands, band_bits)("embedding")
                    .alias("sigs"))
-    bands_df = e.select("vec_id",
-                        F.posexplode("sigs").alias("band", "bucket"))
-    a, b = bands_df.alias("a"), bands_df.alias("b")
-    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
-                       F.col("a.bucket") == F.col("b.bucket"),
-                       F.col("a.vec_id") < F.col("b.vec_id")])
-            .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    vecs = e.select("vec_id", "vn")
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    return (cand
-            .join(vecs.select(F.col("vec_id").alias("id_a"),
-                              F.col("vn").alias("va")), "id_a")
-            .join(vecs.select(F.col("vec_id").alias("id_b"),
-                              F.col("vn").alias("vb")), "id_b")
-            .select("id_a", "id_b", F.round(dot, 4).alias("cosine"))
+    rows = e.select("vec_id", "vn",
+                    F.posexplode("sigs").alias("band", "bucket"))
+    # margin-loose raw threshold: round() moves a value by <= 5e-5, so
+    # no pair with raw dot < min_cosine - 1e-4 can round past the exact
+    # Spark-side predicate below
+    raw_floor = min_cosine - 1e-4
+    pair_chunk = 1 << 21  # pairs per numpy block in a hot bucket
+
+    def bucket_dots(it):
+        # a (band, bucket) group can span Arrow chunk boundaries —
+        # concat the partition first (rows are key-cardinality x bands,
+        # a few MB per partition; same pattern as the sliding finalizer)
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        M = np.stack(pdf["vn"].to_numpy())
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        code = (pdf["band"].to_numpy(np.int64) * (1 << 32)
+                + pdf["bucket"].to_numpy(np.int64))
+        chg = np.flatnonzero(np.diff(code)) + 1
+        starts = np.concatenate([[0], chg, [len(pdf)]])
+        out_a, out_b, out_d = [], [], []
+        for s, t in zip(starts[:-1], starts[1:]):
+            k = t - s
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            for c0 in range(0, len(iu), pair_chunk):
+                ic = iu[c0:c0 + pair_chunk]
+                jc = ju[c0:c0 + pair_chunk]
+                prod = M[s + ic] * M[s + jc]
+                dots = np.add.accumulate(prod, axis=1)[:, -1]
+                keep = dots >= raw_floor
+                if keep.any():
+                    out_a.append(ids[s + ic[keep]])
+                    out_b.append(ids[s + jc[keep]])
+                    out_d.append(dots[keep])
+        if out_a:
+            yield pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "dot": np.concatenate(out_d)})
+
+    nparts = int(emb.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    # explicit partition COUNT: a bare repartition(cols) of small rows
+    # gets AQE-coalesced below full parallelism (state.py landmine)
+    pairs = (rows.repartition(nparts, "band", "bucket")
+             .sortWithinPartitions("band", "bucket", "vec_id")
+             .mapInPandas(bucket_dots, "id_a long, id_b long, dot double"))
+    # a pair surviving in several bands emits identical dot bits each
+    # time (same inputs, same fold), so dedup-then-round == the joined
+    # path's dedup-before-rerank
+    return (pairs.dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", F.round("dot", 4).alias("cosine"))
             .filter(F.col("cosine") >= min_cosine))

@@ -241,14 +241,24 @@ _NULL_LEN = 0xFFFF  # length sentinel: a None key component (e.g.
 # THROWS under Spark 4 ANSI, killing the stream, so every host
 # extraction in this engine uses the try_ variant). Encoding None in the
 # blob keeps the bucketed paths semantically identical to the per-key
-# paths, which handle null grouping keys natively (round-4 advice #2);
-# real components are bounded at 0xFFFE bytes (hosts/langs are tiny).
+# paths, which handle null grouping keys natively (round-4 advice #2).
+_EXT_LEN = 0xFFFE  # escape marker: component >= 0xFFFE bytes stores its
+# true length as a following u4 (round-5 advice #1: without the escape,
+# a host of exactly 0xFFFF bytes ALIASED the None sentinel — silently
+# corrupting every later offset in the bucket — and >= 0x10000 bytes
+# made int.to_bytes(2) raise in the executor, killing the stream;
+# hostile crawl URLs can carry arbitrarily long host components, and
+# the bucketed paths must stay bit-identical to the per-key paths,
+# which handle any length natively)
 
 
 def _enc_key(s) -> bytes:
     if s is None:
         return _NULL_LEN.to_bytes(2, "little")
     b = s.encode()
+    if len(b) >= _EXT_LEN:
+        return (_EXT_LEN.to_bytes(2, "little")
+                + len(b).to_bytes(4, "little") + b)
     return len(b).to_bytes(2, "little") + b
 
 
@@ -263,16 +273,21 @@ def _pack_bucket(keys: list, mats: np.ndarray, meta: np.ndarray) -> bytes:
     return b"".join(parts)
 
 
+def _dec_key(buf: bytes, off: int):
+    ln = int.from_bytes(buf[off:off + 2], "little"); off += 2
+    if ln == _NULL_LEN:
+        return None, off
+    if ln == _EXT_LEN:
+        ln = int.from_bytes(buf[off:off + 4], "little"); off += 4
+    return buf[off:off + ln].decode(), off + ln
+
+
 def _unpack_bucket(buf: bytes):
     keys, metas, mats = [], [], []
     off, n = 0, len(buf)
     while off < n:
-        ll = int.from_bytes(buf[off:off + 2], "little"); off += 2
-        lang = None if ll == _NULL_LEN else buf[off:off + ll].decode()
-        off += 0 if ll == _NULL_LEN else ll
-        hl = int.from_bytes(buf[off:off + 2], "little"); off += 2
-        host = None if hl == _NULL_LEN else buf[off:off + hl].decode()
-        off += 0 if hl == _NULL_LEN else hl
+        lang, off = _dec_key(buf, off)
+        host, off = _dec_key(buf, off)
         metas.append(np.frombuffer(buf, dtype="<i8", count=3, offset=off))
         off += 24
         mats.append(np.frombuffer(buf, dtype="<i8", count=L2, offset=off))
@@ -1014,26 +1029,34 @@ class ContinuousSlidingEmitter:
             # replay is therefore a full no-op.
             return
         spark = batch_df.sparkSession
-        new = (batch_df
-               .select("lang", "host",
-                       F.unix_micros("pane_start").alias("pane_start"),
-                       "counts", "n_docs"))
-        old = self._read_store(spark)
-        merged = latest_panes(new if old is None else old.union(new)
-                              ).select("lang", "host", "pane_start",
-                                       "counts", "n_docs")
-        # prune panes whose every containing window has emitted
-        if self.emit_bound_us is not None:
-            merged = merged.filter(
-                F.col("pane_start") + self.l_us > self.emit_bound_us)
-        self._write_store(merged)
+        # the epoch's pane rows feed TWO actions (the store write and the
+        # max(pane_start) proxy); without a persist each re-executes the
+        # stateful pane stage's lineage, doubling the dominant
+        # applyInPandasWithState cost every epoch (round-5 advice #2)
+        batch_df.persist()
+        try:
+            new = (batch_df
+                   .select("lang", "host",
+                           F.unix_micros("pane_start").alias("pane_start"),
+                           "counts", "n_docs"))
+            old = self._read_store(spark)
+            merged = latest_panes(new if old is None else old.union(new)
+                                  ).select("lang", "host", "pane_start",
+                                           "counts", "n_docs")
+            # prune panes whose every containing window has emitted
+            if self.emit_bound_us is not None:
+                merged = merged.filter(
+                    F.col("pane_start") + self.l_us > self.emit_bound_us)
+            self._write_store(merged)
+            batch_max = (new.agg(F.max("pane_start")).collect()[0][0])
+        finally:
+            batch_df.unpersist()
         # close windows under the PRE-ingest watermark proxy (panes seen
         # in epochs < e bound the event max Spark derived this epoch's
         # watermark from)
         wm_lower = (None if self.event_lb_us is None
                     else self.event_lb_us - self.delay_us)
         lo = self.emit_bound_us
-        batch_max = (new.agg(F.max("pane_start")).collect()[0][0])
         if batch_max is not None:
             self.event_lb_us = max(self.event_lb_us or batch_max,
                                    batch_max)
@@ -1050,8 +1073,10 @@ class ContinuousSlidingEmitter:
 
     def flush(self, spark) -> None:
         """Drain tail: emit every window assembled from data seen so
-        far, exactly once. NON-terminal: the bound advances only to the
-        largest possible window end over panes seen (event_lb + L), and
+        far, exactly once. NON-terminal: the bound advances only to
+        event_lb + slide + length — one slide PAST the largest possible
+        window end over panes seen (event_lb + L; the extra slide is
+        conservative and covers no pane the store could hold) — and
         each flush commits under a fresh sequenced epoch id — so a
         periodic availableNow deployment (drain, flush, later drain new
         backlog, flush again) keeps emitting new windows. The price of

@@ -442,6 +442,28 @@ def test_bucket_blob_roundtrips_null_keys():
     assert (m2 == meta).all() and (g2 == mats).all()
 
 
+def test_bucket_blob_roundtrips_oversize_keys():
+    """round-5 advice #1: a host of exactly 0xFFFF bytes used to encode
+    the same 2-byte prefix as the NULL sentinel (silently corrupting
+    every later offset in the bucket), and >= 0x10000 bytes made
+    int.to_bytes(2) raise in the executor. The extended-length escape
+    (0xFFFE marker + u4 true length) must round-trip every length —
+    including the two sentinel-adjacent boundaries — and keep None and
+    ordinary keys intact alongside."""
+    import numpy as np
+    long_hosts = ["h" * 0xFFFD, "h" * 0xFFFE, "h" * 0xFFFF,
+                  "h" * 0x10000, "h" * 0x18000]
+    keys = ([("en", h) for h in long_hosts]
+            + [(None, "h" * 0xFFFF), ("x" * 0xFFFF, None),
+               ("en", "h.example.com"), (None, None)])
+    n = len(keys)
+    meta = np.arange(3 * n, dtype=np.int64).reshape(n, 3)
+    mats = np.arange(n * state.L2, dtype=np.int64).reshape(n, state.L2)
+    k2, m2, g2 = state._unpack_bucket(state._pack_bucket(keys, mats, meta))
+    assert k2 == keys
+    assert (m2 == meta).all() and (g2 == mats).all()
+
+
 def test_bucketed_null_host_matches_per_key(spark):
     """A malformed URL (NULL host) through the bucketed tumbling path
     must neither crash nor diverge from the per-key path (round-4
