@@ -217,6 +217,61 @@ def main() -> None:
 
     run("ann_lsh_50k_candidates", lsh_cand_only)
 
+    # ---- bigpage fused vs classic, PER-LEG probe brackets --------------
+    # (round-5 verdict #2: the recorded A/B inverted the 100 TB design
+    # claim inside a degraded suite window; bench.py's A/B carries no
+    # per-leg brackets, so this harness adds them)
+    from glcmstream import fixtures as _fx
+    big_docs = int(os.environ.get("GLCM_BIGPAGE_DOCS", "8000"))
+    bigdir = os.path.join(SCRATCH, f"bench_pages_100k_{big_docs}_rg128")
+    if not os.path.exists(os.path.join(bigdir, "part-0015.parquet")):
+        shutil.rmtree(bigdir, ignore_errors=True)
+        _fx.write_pages_parquet(bigdir, n_docs=big_docs, n_files=16,
+                                min_tokens=12000, max_tokens=20000,
+                                row_group_rows=128)
+    bmdir = os.path.join(SCRATCH, f"bench_manifests_big_{big_docs}")
+    fused.write_split_manifests(bigdir, bmdir)
+
+    def _warm_pagecache():
+        for _f in sorted(os.listdir(bigdir)):
+            if _f.endswith(".parquet"):
+                with open(os.path.join(bigdir, _f), "rb") as _fh:
+                    while _fh.read(1 << 24):
+                        pass
+
+    def big_fused():
+        c = os.path.join(SCRATCH, "extra_ckpt_bigf")
+        shutil.rmtree(c, ignore_errors=True)
+        bfeats = fused.fused_features_stream(spark, bigdir, bmdir,
+                                             max_files_per_trigger=None,
+                                             parallelism=4 * CPUS)
+        q = (stream.windowed_agg_over_features(bfeats)
+             .writeStream.outputMode("update")
+             .foreachBatch(lambda df, eid: df.count())
+             .option("checkpointLocation", c)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def big_classic():
+        c = os.path.join(SCRATCH, "extra_ckpt_bigc")
+        shutil.rmtree(c, ignore_errors=True)
+        sdfb = stream.pages_stream(spark, bigdir,
+                                   max_files_per_trigger=None)
+        q = (stream.windowed_feature_agg(sdfb)
+             .writeStream.outputMode("complete")
+             .foreachBatch(lambda df, eid: df.count())
+             .option("checkpointLocation", c)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # alternate the order across reps so page-cache / GC ordering
+    # artifacts show up as order-dependence instead of biasing one leg
+    for rep, order in enumerate([("bigF", "bigC"), ("bigC", "bigF"),
+                                 ("bigF", "bigC")]):
+        for tag in order:
+            fn = big_fused if tag == "bigF" else big_classic
+            run(f"{tag}_r{rep}", fn, warm_fn=_warm_pagecache)
+
     # ---- batch agg + classic stream (for completeness) -----------------
     def batch_agg():
         pages = stream.read_pages_batch(spark, pages_dir)

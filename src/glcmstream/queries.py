@@ -1240,10 +1240,11 @@ def iceberg_stream_scan(spark, sf_dir):
                 F.sum(F.unix_micros("warc_ts")).alias("ts_sum")))
     qname = f"icestream_{_uuid.uuid4().hex[:8]}"
     ckpt = _tf.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (agg.writeStream.format("memory").queryName(qname)
-         .outputMode("complete").option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _drain_width(spark, tdir):
+        q = (agg.writeStream.format("memory").queryName(qname)
+             .outputMode("complete").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -1275,6 +1276,50 @@ def salted_host_agg(spark, sf_dir):
 # Streaming (run to completion with availableNow; deterministic)
 # ===========================================================================
 
+import contextlib
+import os as _os
+
+
+def _input_bytes(*paths: str) -> int:
+    total = 0
+    for p in paths:
+        if _os.path.isdir(p):
+            for root, _dirs, files in _os.walk(p):
+                for fn in files:
+                    if not fn.startswith((".", "_")):
+                        total += _os.path.getsize(_os.path.join(root, fn))
+        elif _os.path.exists(p):
+            total += _os.path.getsize(p)
+    return total
+
+
+@contextlib.contextmanager
+def _drain_width(spark, *paths: str):
+    """Scale-adaptive shuffle/state width for one-epoch availableNow
+    backlog drains (guide §2: derive partitioning from input size, never
+    a constant tuned to one host). A streaming query bakes its state
+    partition count in at FIRST start from spark.sql.shuffle.partitions,
+    and every state store instance is per-epoch fixed cost (RocksDB
+    open + commit; measured ~0.45 s per drain going 32 -> 8 on this
+    box). Width = input_bytes / 32 MiB, floored at 8 and CAPPED AT THE
+    SESSION DEFAULT — so a driver-fixture drain uses 8 stores while a
+    production-sized backlog keeps the session's full width (at 100 TB
+    the cap, not the floor, is in charge; override the per-partition
+    target with GLCMSTREAM_DRAIN_TARGET_BYTES). Results are unchanged —
+    partitioning only moves rows among tasks; the same reasoning landed
+    in round 4 for the recrawl bench leg. The GLCM stateful paths do NOT
+    use this: their per-bucket python stages want the full width."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    target = int(_os.environ.get("GLCMSTREAM_DRAIN_TARGET_BYTES",
+                                 str(32 << 20)))
+    width = max(8, min(default, _input_bytes(*paths) // target))
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default))
+
+
 def _run_stream_to_memory(sdf, name_prefix: str) -> tuple:
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
@@ -1304,7 +1349,8 @@ def streaming_tumbling_events(spark, sf_dir):
            .groupBy(F.window("ts", "10 minutes"), "event_type")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("value"), 2).alias("sum_value")))
-    qname = _run_stream_to_memory(agg, "tumble")
+    with _drain_width(spark, f"{sf_dir}/events.parquet"):
+        qname = _run_stream_to_memory(agg, "tumble")
     return (spark.table(qname)
             .select(F.unix_timestamp(F.col("window.start"))
                     .alias("window_start"),
@@ -1331,7 +1377,8 @@ def streaming_sliding_events(spark, sf_dir):
            .groupBy(F.window("ts", "10 minutes", "5 minutes"))
            .agg(F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("value"), 2).alias("sum_value")))
-    qname = _run_stream_to_memory(agg, "slide")
+    with _drain_width(spark, f"{sf_dir}/events.parquet"):
+        qname = _run_stream_to_memory(agg, "slide")
     return (spark.table(qname)
             .select(F.unix_timestamp(F.col("window.start"))
                     .alias("window_start"), "n", "sum_value"))
@@ -1501,10 +1548,11 @@ def fused_windowed_counts(spark, sf_dir):
     agg = stream.windowed_agg_over_features(feats)
     qname = f"fusedwin_{_uuid.uuid4().hex[:8]}"
     ckpt = _tf.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (agg.writeStream.format("memory").queryName(qname)
-         .outputMode("complete").option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _drain_width(spark, pdir):
+        q = (agg.writeStream.format("memory").queryName(qname)
+             .outputMode("complete").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(qname)
             .select(F.unix_seconds(F.col("window.start")).alias("win_s"),
                     "lang", "host", "n_docs"))
@@ -1536,10 +1584,11 @@ def streaming_session_windows(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_events")))
     qname = f"sessq_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (sess.writeStream.format("memory").queryName(qname)
-         .outputMode("complete").option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _drain_width(spark, f"{sf_dir}/events.parquet"):
+        q = (sess.writeStream.format("memory").queryName(qname)
+             .outputMode("complete").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(qname).groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_sessions")))
 
@@ -1575,10 +1624,11 @@ def streaming_session_pages(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
     qname = f"sesspages_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (sess.writeStream.format("memory").queryName(qname)
-         .outputMode("complete").option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _drain_width(spark, _derived_pages_dir(spark, sf_dir)):
+        q = (sess.writeStream.format("memory").queryName(qname)
+             .outputMode("complete").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(qname).groupBy("lang", "host")
             .agg(F.count(F.lit(1)).alias("n_sessions"),
                  F.sum("n").alias("n_pages")))
@@ -1622,10 +1672,11 @@ def cep_click_purchase(spark, sf_dir):
     matched = cep.cep_click_purchase(sdf, watermark="0 seconds")
     qname = f"cepq_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (matched.writeStream.format("memory").queryName(qname)
-         .outputMode("update").option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _drain_width(spark, f"{sf_dir}/events.parquet"):
+        q = (matched.writeStream.format("memory").queryName(qname)
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(qname).select("user_id", "click_us", "purchase_us")
 
 
@@ -1641,10 +1692,11 @@ def streaming_dedup_urls(spark, sf_dir):
          .dropDuplicatesWithinWatermark(["url"]).select("url"))
     qname = f"dedupq_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (d.writeStream.format("memory").queryName(qname)
-         .outputMode("append").option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _drain_width(spark, _derived_pages_dir(spark, sf_dir)):
+        q = (d.writeStream.format("memory").queryName(qname)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -1884,10 +1936,11 @@ def streaming_cdc_upsert(spark, sf_dir):
         table.merge_commit(latest, int(epoch_id), key_col="url")
 
     ckpt = _tf.mkdtemp(prefix=f"ckpt_cdc_{_uuid.uuid4().hex[:8]}_")
-    q = (sdf.writeStream.foreachBatch(fb)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _drain_width(spark, cdc_dir):
+        q = (sdf.writeStream.foreachBatch(fb)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return (table.read_latest(spark, "url")
             .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
             .groupBy("lang")
@@ -1924,22 +1977,24 @@ def stream_static_join(spark, sf_dir):
         q.awaitTermination()
         return spark.table(qname)
 
+    pdir = _derived_pages_dir(spark, sf_dir)
     sdf = _derived_pages_stream(spark, sf_dir) \
         .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
-    counts = _run(
-        sdf.withWatermark("warc_ts", "1 hour")
-        .join(static_docs, "doc_id")
-        .groupBy("source").agg(F.count(F.lit(1)).alias("n_pages")),
-        "ssj_pages")
+    with _drain_width(spark, pdir):
+        counts = _run(
+            sdf.withWatermark("warc_ts", "1 hour")
+            .join(static_docs, "doc_id")
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n_pages")),
+            "ssj_pages")
 
-    sdf2 = _derived_pages_stream(spark, sf_dir) \
-        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
-    urls = _run(
-        sdf2.withWatermark("warc_ts", "2 hours")
-        .dropDuplicatesWithinWatermark(["url"])
-        .join(static_docs, "doc_id")
-        .groupBy("source").agg(F.count(F.lit(1)).alias("n_urls")),
-        "ssj_urls")
+        sdf2 = _derived_pages_stream(spark, sf_dir) \
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        urls = _run(
+            sdf2.withWatermark("warc_ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["url"])
+            .join(static_docs, "doc_id")
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n_urls")),
+            "ssj_urls")
     return counts.join(urls, "source")
 
 

@@ -211,7 +211,7 @@ def test_sliding_from_emissions_null_host_and_gaps(spark):
     def blob(seed):
         rng = np.random.default_rng(seed)
         m = rng.integers(0, 50, size=1024, dtype=np.int64)
-        return m.tobytes()
+        return state._pack_counts(m)  # the pane-emission wire codec
 
     rows = []
     for lang, host, gslots, docs in [
@@ -1070,7 +1070,8 @@ def test_continuous_sliding_replayed_epoch_is_noop(spark):
 
     def counts(seed, n):
         rng = np.random.default_rng(seed)
-        return (rng.integers(1, 50, L2).astype("<i8") * n).tobytes()
+        # pane emissions carry the wire codec, not raw i8
+        return state._pack_counts(rng.integers(1, 50, L2) * n)
 
     def batch(rows):
         data = [(lang, host, pd.Timestamp(ts).to_pydatetime(),
