@@ -2547,49 +2547,22 @@ def streaming_sliding_continuous(spark, sf_dir):
 #   _CHECK_LAST — twice-green TPC-H/scalar shapes rotate out of the
 #     window (their operator categories remain evidenced by r01+r02 rows).
 
-# Round-5 rotation (round-4 verdict #6): FIRST = the two zero-evidence
-# r5 additions. MID opens with the 31 entries whose last driver row is
-# r3 (the whole round-4 LAST block — at 2 rounds stale they must cycle
-# back now), then 17 r4-evidenced entries chosen because their CODE
-# changed this round (the three bucketed-state profiles after the
-# factorize rewrite + null-key packing, dedup_components after the
-# star-contraction/localCheckpoint rewrite, heavy_hitters after the
-# Misra-Gries decrement fix, fused/stream paths after the
-# try_parse_url swap) or to reach twice-green
-# (iceberg_schema_evolution). FIRST+MID = 5+45 = 50 EXACTLY: the two
-# late-r5 additions (ngram_jaccard_pairs, embedding_near_dup) joined
-# FIRST and rotated tfidf_top_terms + pandas_udaf_geomean (r4-green,
-# code untouched this round, pytest-oracled regardless) out to LAST.
-# The 35 LAST entries all carry r4 evidence (1 round stale at r5 end);
-# cycle them back in round 6.
-_CHECK_FIRST = [
-    "dedup_components_star", "streaming_sliding_continuous",
-    "dedup_keep_best", "ngram_jaccard_pairs", "embedding_near_dup",
-]
+# Round-6 rotation (round-5 verdict #5): no new queries this round, so
+# FIRST is empty. MID opens with the 36 entries whose last driver row
+# is r4 (the whole round-5 LAST block — 2 rounds stale at r6 close if
+# not cycled now), then 14 r5-evidenced entries kept in the window
+# because ROUND-6 OPTIMIZATION touched their code paths (the pane
+# emission/state codec + finalizer behind the sliding/bucketed/session
+# stateful profiles and the continuous emitter; the bucket-local LSH
+# re-rank behind ann_lsh_pairs; the scale-adaptive drain width behind
+# the tumbling/sliding/session-events, iceberg-stream, CDC and CEP
+# drains; the split-capped fused fan-out behind fused_windowed_counts)
+# or because they are once-green round-5 additions
+# (dedup_components_star, embedding_near_dup). MID = 50 EXACTLY; the
+# other 36 r5-evidenced entries rotate to LAST.
+_CHECK_FIRST: list[str] = []
 _CHECK_MID = [
-    # --- last driver row r3: back in the window ---
-    "streaming_tumbling_events", "streaming_sliding_events",
-    "streaming_session_windows", "grouping_sets_orders",
-    "session_windows_batch", "dedup_first_crawl",
-    "hour_histogram_events", "embedding_slice_stats",
-    "approx_distinct_parts", "join_broadcast_region",
-    "revenue_by_priority", "asof_join_click_purchase",
-    "range_join_event_pairs", "recrawl_interval_join", "map_json_props",
-    "token_stats", "lang_id_markers", "jaccard_word_pairs",
-    "minhash_lsh_dedup", "simhash_near_pairs", "ann_topk_cosine",
-    "ivf_cell_counts", "ivf_topk_cosine", "ann_lsh_pairs",
-    "multimodal_metadata", "multimodal_resize",
-    "extract_text_invariant", "udtf_token_explode",
-    "cogrouped_user_funnel", "iceberg_scan_pages", "iceberg_stream_scan",
-    # --- r4-evidenced, re-checked because round-5 touched their code ---
-    "streaming_stateful_glcm_bucketed", "streaming_stateful_glcm_sliding",
-    "streaming_stateful_glcm_session", "dedup_components",
-    "iceberg_schema_evolution", "heavy_hitters_hosts", "salted_host_agg",
-    "fused_windowed_counts", "streaming_cdc_upsert", "cep_click_purchase",
-    "string_fns_hosts", "dedup_exact_docs", "text_quality",
-    "multimodal_frame_sample",
-]
-_CHECK_LAST = [
+    # --- last driver row r4: back in the window ---
     "pricing_summary", "top10_orders", "window_lag_delta",
     "window_rolling_sum", "rollup_flag_status", "cube_segment_nation",
     "window_rank_orders", "setop_active_rich_customers",
@@ -2605,6 +2578,30 @@ _CHECK_LAST = [
     "iceberg_compacted_scan", "ntok_quantiles", "stratified_sample",
     "corpus_clean_stats", "glcm_lang_profile", "rendertile_profile",
     "tfidf_top_terms", "pandas_udaf_geomean",
+    # --- r5-evidenced, re-checked because round-6 touched their code
+    # (or once-green r5 additions) ---
+    "streaming_stateful_glcm_sliding", "streaming_stateful_glcm_bucketed",
+    "streaming_stateful_glcm_session", "streaming_sliding_continuous",
+    "ann_lsh_pairs", "streaming_tumbling_events",
+    "streaming_sliding_events", "streaming_session_windows",
+    "iceberg_stream_scan", "streaming_cdc_upsert", "cep_click_purchase",
+    "fused_windowed_counts", "dedup_components_star", "embedding_near_dup",
+]
+_CHECK_LAST = [
+    "dedup_keep_best", "ngram_jaccard_pairs", "grouping_sets_orders",
+    "session_windows_batch", "dedup_first_crawl",
+    "hour_histogram_events", "embedding_slice_stats",
+    "approx_distinct_parts", "join_broadcast_region",
+    "revenue_by_priority", "asof_join_click_purchase",
+    "range_join_event_pairs", "recrawl_interval_join", "map_json_props",
+    "token_stats", "lang_id_markers", "jaccard_word_pairs",
+    "minhash_lsh_dedup", "simhash_near_pairs", "ann_topk_cosine",
+    "ivf_cell_counts", "ivf_topk_cosine", "multimodal_metadata",
+    "multimodal_resize", "extract_text_invariant", "udtf_token_explode",
+    "cogrouped_user_funnel", "iceberg_scan_pages", "dedup_components",
+    "iceberg_schema_evolution", "heavy_hitters_hosts", "salted_host_agg",
+    "string_fns_hosts", "dedup_exact_docs", "text_quality",
+    "multimodal_frame_sample",
 ]
 
 
