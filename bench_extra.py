@@ -283,6 +283,100 @@ def main() -> None:
 
     run("batch_agg", batch_agg)
 
+    # ---- clustering: star contraction at ~100k edges (r5 verdict #7:
+    # component closure is the one dedup stage whose cost is
+    # round-multiplied at scale; bench it with its round count) --------
+    import numpy as np
+    import pandas as pd
+
+    from glcmstream import dedup
+
+    def cc_graph(n_nodes=60_000, n_edges=100_000, seed=42):
+        rng = np.random.default_rng(seed)
+        u = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
+        v = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
+        keep = u != v
+        return spark.createDataFrame(
+            pd.DataFrame({"id_a": u[keep], "id_b": v[keep]}))
+
+    star_rounds: list = []
+
+    def cc_star():
+        edges = cc_graph()
+        canon = (edges.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"))
+            .dropDuplicates(["u", "v"]))
+        star_rounds.clear()
+        labels = dedup._star_labels(canon, rounds_out=star_rounds)
+        n_comp = labels.select("label").distinct().count()
+        print(f"  star rounds={len(star_rounds)} components={n_comp}",
+              file=sys.stderr)
+
+    def cc_prop():
+        edges = cc_graph()
+        n_comp = (dedup.connected_components(edges)
+                  .select("component_id").distinct().count())
+        print(f"  propagation components={n_comp}", file=sys.stderr)
+
+    run("cc_star_100k", cc_star)
+    if legs.get("cc_star_100k") is not None and star_rounds:
+        legs["cc_star_100k"]["rounds"] = len(star_rounds)
+    run("cc_minlabel_100k", cc_prop)
+
+    # ---- one-shuffle sliding finalizer at PRODUCTION L/S (r5 verdict
+    # #8: the 13x shuffle-volume claim was analytic; time both paths on
+    # a 1 h / 5 min (r = 12) widened pane fixture and pin parity) ------
+    from glcmstream import state as state_mod
+
+    def prod_ls_emissions(n_keys=2000, panes_per_key=48, seed=7):
+        rng = np.random.default_rng(seed)
+        s_us = 300_000_000  # 5 min slide
+        base = pd.Timestamp("2026-01-01 00:00:00")
+        rows = []
+        for k in range(n_keys):
+            host = f"h{k:05d}.example.com"
+            lang = ["en", "de", "es", "fr", "pt"][k % 5]
+            for p in range(panes_per_key):
+                m = rng.integers(0, 60, state_mod.L2).astype(np.int64)
+                rows.append((lang, host,
+                             base + pd.Timedelta(microseconds=p * s_us),
+                             state_mod._pack_counts(m), int(m.sum() % 97 + 1),
+                             1))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["lang", "host", "pane_start",
+                                        "counts", "n_docs", "n_batches"]),
+            schema=state_mod.PANE_OUTPUT_SCHEMA)
+
+    emis_prod = prod_ls_emissions()
+
+    def one_shuffle_prod():
+        n = state_mod.sliding_windows_from_emissions(
+            emis_prod, length="1 hour", slide="5 minutes").count()
+        print(f"  one-shuffle windows={n}", file=sys.stderr)
+
+    def two_shuffle_prod():
+        n = state_mod.finalize_sliding_windows(
+            state_mod.latest_panes(emis_prod),
+            length="1 hour", slide="5 minutes").count()
+        print(f"  two-shuffle windows={n}", file=sys.stderr)
+
+    run("sliding_prod_ls_one_shuffle", one_shuffle_prod)
+    run("sliding_prod_ls_two_shuffle", two_shuffle_prod)
+    if (not sel or "sliding_prod_ls_parity" in sel):
+        a = state_mod.sliding_windows_from_emissions(
+            emis_prod, length="1 hour", slide="5 minutes")
+        b = state_mod.finalize_sliding_windows(
+            state_mod.latest_panes(emis_prod),
+            length="1 hour", slide="5 minutes")
+        cols = ["lang", "host", "window_start"]
+        pa_ = a.toPandas().sort_values(cols).reset_index(drop=True)
+        pb_ = b.toPandas().sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(pa_[pb_.columns], pb_)
+        legs["sliding_prod_ls_parity"] = {"bit_identical": True,
+                                          "windows": len(pa_)}
+        print("  prod-L/S parity: bit-identical", file=sys.stderr)
+
     print(json.dumps({"legs": legs, "cpus": CPUS,
                       "n_docs": bench.N_DOCS}))
 

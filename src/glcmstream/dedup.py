@@ -278,7 +278,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                    .withColumn("jaccard", F.round("jaccard", 4))
 
 
-def _star_labels(canon: DataFrame, max_rounds: int = 64) -> DataFrame:
+def _star_labels(canon: DataFrame, max_rounds: int = 64,
+                 rounds_out: list | None = None) -> DataFrame:
     """Alternating large-star / small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC 2014):
     O(log^2 n) rounds regardless of graph diameter — the fallback for
@@ -325,6 +326,8 @@ def _star_labels(canon: DataFrame, max_rounds: int = 64) -> DataFrame:
         grew = small.subtract(edges).count()
         n_new, n_old = small.count(), edges.count()
         edges = small
+        if rounds_out is not None:
+            rounds_out.append(n_new)
         if grew == 0 and n_new == n_old:
             break
     sym = edges.union(edges.select(F.col("v").alias("u"),
@@ -359,24 +362,34 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     The returned DataFrame is localCheckpoint-materialized (its size is
     one (id, label) row per node in the pair graph — tiny next to the
-    corpus), so every per-round cache is released before returning
-    (round-4 advice #3: the final cache used to leak per call)."""
+    corpus); every round checkpoints rather than caches so neither
+    blocks nor the logical plan accumulate across rounds (round-4
+    advice #3 fixed the leaked final cache; round-6 replaced the
+    per-round caches after the propagation phase showed the same
+    plan-growth blow-up _star_labels had already fixed)."""
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("v"))))
+    # localCheckpoint (NOT cache) per round, same discipline as
+    # _star_labels: cache() keeps the logical plan growing each round
+    # and Catalyst planning time explodes ~20 rounds in — the sf
+    # fixtures converge in <= 3 rounds so the latent blow-up only
+    # surfaced on a 100k-edge random graph (round-6 bench leg: the
+    # propagation phase alone ran minutes with cache, seconds with
+    # per-round checkpoints). Label rows are (id, label) — tiny.
     labels = (sym.select(F.col("u").alias("id")).distinct()
-              .withColumn("label", F.col("id")).cache())
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
     converged = False
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("id", "u"), "u")
                .select(F.col("v").alias("id"), "label"))
         new = (labels.select("id", "label").union(nbr)
                .groupBy("id").agg(F.min("label").alias("label"))
-               .cache())
+               .localCheckpoint(eager=True))
         changed = (new.join(labels.withColumnRenamed("label", "_o"),
                             "id")
                    .filter(F.col("label") != F.col("_o")).count())
-        labels.unpersist()
         labels = new
         if changed == 0:
             converged = True
@@ -387,11 +400,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         star = _star_labels(canon)
         # star labels cover every non-isolated node; isolated ids (from
         # degenerate self-loop-only inputs) keep their own id
-        new = (labels.select("id").join(star, "id", "left")
-               .select("id", F.coalesce("label", "id").alias("label")))
-        out = new.localCheckpoint(eager=True)
-        labels.unpersist()
+        out = (labels.select("id").join(star, "id", "left")
+               .select("id", F.coalesce("label", "id").alias("label"))
+               .localCheckpoint(eager=True))
     else:
-        out = labels.localCheckpoint(eager=True)
-        labels.unpersist()
+        out = labels
     return out.select("id", F.col("label").alias("component_id"))

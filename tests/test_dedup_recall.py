@@ -427,6 +427,17 @@ def test_connected_components_synthetic_graphs(spark):
            (10, 10), (11, 10), (12, 10), (13, 10),
            (20, 20), (21, 20), (22, 20)}
     assert got == exp
+    # deep-but-within-budget diameter (round-6): a 28-node chain needs
+    # ~27 PROPAGATION rounds without triggering the star fallback. The
+    # loop must localCheckpoint each round — with the per-round cache()
+    # it replaced, Catalyst planning time grows with the round count
+    # and this tiny graph alone takes minutes (the same plan-growth
+    # blow-up the star fallback fixed in round 5, latent in the
+    # propagation loop until the 100k-edge bench leg exposed it).
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(28)], ["id_a", "id_b"])
+    lbl = dedup.connected_components(chain).collect()
+    assert {r.component_id for r in lbl} == {0} and len(lbl) == 29
     # adversarial diameter (round-4 verdict #4): a 600-node path graph
     # whose ids are seeded-shuffled (so the min label must propagate
     # across ~600 hops, >> any propagation budget) must CONVERGE via
